@@ -1,0 +1,33 @@
+"""optimal_control_problem_tpu — a TPU-native MPC / trajectory-optimization
+framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference C++/CasADi/OSQP-CUDA library ``LockedFlysher/optimal_control_problem``
+(see SURVEY.md): symbolic problem construction, an SQP engine with an
+OSQP-style ADMM inner QP solver, multiple solver backends, YAML-configured
+variable layouts and bounds, and — new here — batched (vmap) and multi-chip
+(mesh/shard_map) scenario MPC.
+"""
+
+from .config import Frame, OCPConfig, load_config
+from .problem import OptimalControlProblem, SolverType
+from .solvers.admm import ADMMSettings, QPSolution, admm_solve
+from .solvers.sqp import SQPOptimizationSolver, SQPOptions, SQPResult
+from . import sym
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Frame",
+    "OCPConfig",
+    "load_config",
+    "OptimalControlProblem",
+    "SolverType",
+    "ADMMSettings",
+    "QPSolution",
+    "admm_solve",
+    "SQPOptimizationSolver",
+    "SQPOptions",
+    "SQPResult",
+    "sym",
+]

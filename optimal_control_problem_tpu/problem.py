@@ -1,0 +1,567 @@
+"""User-facing problem builder + MPC front-end — the TPU-native equivalent of
+the reference's ``OptimalControlProblem`` base class
+(``/root/reference/include/optimal_control_problem/OptimalControlProblem.h``,
+``/root/reference/src/OptimalControlProblem.cpp``).
+
+Capabilities replicated (SURVEY.md section 2, C1):
+
+* cost/constraint registries: ``add_scalar_cost`` (cpp:444-446),
+  ``add_vector_cost`` — quadratic form ``c^T diag(w) c`` (cpp:574-600),
+  ``add_inequality_constraint`` (cpp:448-465),
+  ``add_equation_constraint`` x2 (cpp:467-489),
+  ``get_cost_function`` summing the registry (cpp:491-497);
+* solver-settings parsing and validation (cpp:22-43, 54-62) with the YAML
+  schema of ``readme.md:44-62``;
+* solver generation & dispatch over {IPOPT, SQP, CUDA_SQP/TPU_SQP, MIXED}
+  (``genSolver``, cpp:224-442);
+* per-tick solve with first-frame pinning (the MPC initial condition is
+  imposed by setting ``lbx = ubx = frame`` on the first frame, cpp:93-96),
+  warm start across ticks (cpp:102-113, 212), and input validation
+  (``solverInputCheck``, cpp:511-552);
+* the subclass hook ``deploy_constraints_and_add_cost``
+  (pure virtual at ``OptimalControlProblem.h:101``) — optional here, since
+  the builder API also works imperatively without subclassing (the shape the
+  stale ``test/test.cpp`` uses for the raw solver).
+
+TPU-native differences: "code generation" is XLA jit with the persistent
+compilation cache standing in for the reference's gcc-compiled ``.so``
+artifacts (cpp:602-640, 120-143); costs/constraints may be :class:`Sym`
+expressions *or* plain JAX callables ``fn(X, P)``; and the generated solver
+is a pure jitted function that batches under ``vmap`` (see
+``parallel/batch.py``).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import OCPConfig, load_config
+from .sym import Sym, evaluate, sym
+from .solvers.sqp import SQPOptimizationSolver, SQPOptions
+from .solvers.admm import ADMMSettings
+from .solvers.reference import solve_nlp_host
+from .utils.logging import ocp_info, ocp_warn
+
+__all__ = ["SolverType", "SolverSettings", "OptimalControlProblem"]
+
+
+class SolverType(enum.Enum):
+    """Solver menu, parity with ``OptimalControlProblem.h:17-22``.
+
+    ``TPU_SQP`` is the native hot path — the analog of the reference's
+    ``CUDA_SQP`` (its name is accepted as an alias for config compatibility).
+    """
+
+    IPOPT = "IPOPT"
+    SQP = "SQP"
+    TPU_SQP = "TPU_SQP"
+    MIXED = "MIXED"
+
+
+class SolverSettings:
+    """Parsed ``solver_settings`` (``OptimalControlProblem.h:15-37``)."""
+
+    def __init__(self, node: Dict[str, Any]):
+        # Required keys, mirroring validateConfig (cpp:54-62).
+        required = [
+            "max_iter",
+            "warm_start",
+            "SQP_settings",
+            "verbose",
+            "gen_code",
+            "load_lib",
+            "solve_method",
+        ]
+        for key in required:
+            if key not in node:
+                raise ValueError(f"Invalid configuration file: missing solver_settings.{key}")
+        sqp_node = node["SQP_settings"]
+        for key in ("alpha", "step_num"):
+            if key not in sqp_node:
+                raise ValueError(f"Invalid configuration file: missing SQP_settings.{key}")
+
+        self.max_iter = int(node["max_iter"])
+        self.warm_start = bool(node["warm_start"])
+        self.verbose = bool(node["verbose"])
+        self.gen_code = bool(node["gen_code"])
+        self.load_lib = bool(node["load_lib"])
+        self.recompile = bool(node.get("recompile", False))
+        self.alpha = float(sqp_node["alpha"])
+        self.step_num = int(sqp_node["step_num"])
+
+        method = str(node["solve_method"])
+        if method == "CUDA_SQP":  # accepted alias (readme.md:58)
+            method = "TPU_SQP"
+        try:
+            self.solver_type = SolverType(method)
+        except ValueError:
+            raise ValueError(f"Unknown solver type: {method}") from None
+
+        # TPU-specific extensions (all optional, defaults match reference
+        # semantics as closely as possible).
+        self.formulation = str(node.get("formulation", "augmented"))
+        self.qp_warm_start = bool(node.get("qp_warm_start", True))
+        self.dtype = jnp.float64 if node.get("precision", "f32") == "f64" else jnp.float32
+        admm_node = node.get("ADMM_settings", {})
+        self.admm = ADMMSettings(
+            rho=float(admm_node.get("rho", 0.1)),
+            eps_abs=float(admm_node.get("eps_abs", 1e-3)),
+            eps_rel=float(admm_node.get("eps_rel", 1e-3)),
+            max_iter=int(admm_node.get("max_iter", 10000)),
+            adaptive_rho=bool(admm_node.get("adaptive_rho", True)),
+            method=str(admm_node.get("method", "kkt")),
+        )
+
+    @classmethod
+    def default_node(cls, solve_method: str = "TPU_SQP") -> Dict[str, Any]:
+        """A complete solver_settings mapping with reference defaults
+        (``OptimalControlProblem.h:24-36``: alpha=0.1, step_num=10)."""
+        return {
+            "max_iter": 1000,
+            "warm_start": True,
+            "verbose": False,
+            "gen_code": False,
+            "load_lib": False,
+            "solve_method": solve_method,
+            "SQP_settings": {"alpha": 0.1, "step_num": 10},
+        }
+
+
+CostLike = Union[Sym, Callable]
+ExprLike = Union[Sym, Callable]
+
+
+class OptimalControlProblem:
+    """Build a discretized OCP and solve it each MPC tick.
+
+    Usage (mirrors the reference flow, SURVEY.md section 3.1)::
+
+        ocp = OptimalControlProblem(yaml_node)      # or subclass
+        ocp.set_reference(ref_size)                 # creates the parameter vector
+        ...add costs / constraints...               # or deploy_constraints_and_add_cost()
+        ocp.gen_solver()
+        ocp.compute_optimal_trajectory(frame, reference)   # per tick
+        traj = ocp.get_optimal_trajectory()
+    """
+
+    def __init__(self, config_node: Any):
+        node = load_config(config_node)
+        if "solver_settings" not in node:
+            raise ValueError("Invalid configuration file: missing solver_settings")
+        self.solver_settings = SolverSettings(node["solver_settings"])
+        self.ocp_config = OCPConfig(node)
+        self._config_node = node
+
+        self._costs: List[CostLike] = []
+        self._constraints: List[ExprLike] = []
+        self._constraint_names: List[str] = []
+        self._constraint_sizes: List[int] = []
+        self._constraint_lower: List[np.ndarray] = []
+        self._constraint_upper: List[np.ndarray] = []
+
+        self._reference: Optional[Sym] = None
+        self._first_time = True
+        self._optimal_trajectory: Optional[jnp.ndarray] = None
+        self._last_f: Optional[float] = None
+        self._solver: Optional[SQPOptimizationSolver] = None
+        self._nlp_fns = None  # (f_fn, g_fn)
+        self._generated = False
+
+        if self.solver_settings.gen_code or self.solver_settings.load_lib:
+            # TPU analog of the reference's .so codegen cache
+            # (cpp:602-640): the XLA persistent compilation cache.
+            import jax
+
+            try:
+                jax.config.update("jax_compilation_cache_dir", ".ocp_xla_cache")
+                ocp_info("XLA persistent compilation cache enabled (.ocp_xla_cache)")
+            except Exception as e:  # pragma: no cover
+                ocp_warn(f"could not enable XLA compilation cache: {e}")
+
+    # ------------------------------------------------------------------
+    # hook for subclasses (OptimalControlProblem.h:101)
+    def deploy_constraints_and_add_cost(self) -> None:
+        """Override in subclasses to define dynamics, costs, constraints."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # reference parameter vector
+    def set_reference(self, reference: Union[Sym, int]) -> None:
+        """Define the parameter (reference-trajectory) vector ``p``
+        (``setReference``, cpp:570-572).  Accepts a leaf :class:`Sym` or an
+        int size (a leaf named ``"P"`` is created)."""
+        if isinstance(reference, int):
+            reference = sym("P", reference)
+        if not isinstance(reference, Sym) or reference.name is None:
+            raise ValueError("reference must be a leaf Sym or an int size")
+        self._reference = reference
+
+    def get_reference(self) -> Optional[Sym]:
+        return self._reference
+
+    @property
+    def reference_size(self) -> int:
+        return 0 if self._reference is None else self._reference.size1()
+
+    # ------------------------------------------------------------------
+    # cost registry (cpp:444-446, 574-600)
+    def add_scalar_cost(self, cost: CostLike) -> None:
+        if isinstance(cost, Sym) and cost.size1() != 1:
+            raise ValueError("scalar cost must have size 1")
+        self._costs.append(cost)
+
+    def add_vector_cost(self, weights: Sequence[float], cost: ExprLike) -> None:
+        """Quadratic-form cost ``sum_i w_i * c_i(X,P)^2`` (cpp:574-600)."""
+        w = np.asarray(weights, dtype=np.float64).reshape(-1)
+        if isinstance(cost, Sym):
+            if w.shape[0] != cost.size1():
+                raise ValueError(
+                    "weight vector and cost expression dimensions differ"
+                )
+            self._costs.append(_sym_quadform(w, cost))
+        else:
+            self._costs.append(
+                lambda X, P, w=jnp.asarray(w), c=cost: jnp.sum(
+                    w * jnp.square(jnp.asarray(c(X, P)).reshape(-1))
+                )
+            )
+
+    def get_cost_function(self) -> Callable:
+        """Total cost as a callable ``f(X, P) -> scalar`` (cpp:491-497)."""
+        costs = list(self._costs)
+
+        def f_fn(X, P):
+            total = jnp.asarray(0.0, X.dtype)
+            for c in costs:
+                total = total + _eval_term(c, X, P, self._leaf_names())
+            return total
+
+        return f_fn
+
+    # ------------------------------------------------------------------
+    # constraint registry (cpp:448-489)
+    def add_inequality_constraint(
+        self,
+        constraint_name: str,
+        lower_bound: Sequence[float],
+        expression: ExprLike,
+        upper_bound: Sequence[float],
+    ) -> None:
+        lb = np.atleast_1d(np.asarray(lower_bound, dtype=np.float64))
+        ub = np.atleast_1d(np.asarray(upper_bound, dtype=np.float64))
+        size = _expr_size(expression, self)
+        if lb.shape[0] != size or ub.shape[0] != size:
+            raise ValueError(
+                "inequality constraint bounds/expression dimensions differ"
+            )
+        self._constraints.append(expression)
+        self._constraint_names.extend([constraint_name] * size)
+        self._constraint_sizes.append(size)
+        self._constraint_lower.append(lb)
+        self._constraint_upper.append(ub)
+
+    def add_equation_constraint(
+        self,
+        constraint_name: str,
+        left: ExprLike,
+        right: Optional[ExprLike] = None,
+    ) -> None:
+        """``left == right`` (or ``left == 0``), as ``0 <= left-right <= 0``
+        (cpp:467-489)."""
+        if right is None:
+            expr = left
+        elif isinstance(left, Sym) and isinstance(right, Sym):
+            if left.size1() != right.size1():
+                raise ValueError("equation constraint sides have different dimensions")
+            expr = left - right
+        elif callable(left) and callable(right):
+            expr = lambda X, P, l=left, r=right: (
+                jnp.asarray(l(X, P)).reshape(-1) - jnp.asarray(r(X, P)).reshape(-1)
+            )
+        elif isinstance(left, Sym):
+            expr = left - np.asarray(right, dtype=np.float64)
+        else:
+            raise ValueError("unsupported equation constraint operand types")
+        size = _expr_size(expr, self)
+        self._constraints.append(expr)
+        self._constraint_names.extend([constraint_name] * size)
+        self._constraint_sizes.append(size)
+        self._constraint_lower.append(np.zeros(size))
+        self._constraint_upper.append(np.zeros(size))
+
+    def get_constraints(self) -> List[ExprLike]:
+        return list(self._constraints)
+
+    def get_constraint_names(self) -> List[str]:
+        return list(self._constraint_names)
+
+    def get_constraint_lower_bounds(self) -> np.ndarray:
+        return (
+            np.concatenate(self._constraint_lower)
+            if self._constraint_lower
+            else np.zeros(0)
+        )
+
+    def get_constraint_upper_bounds(self) -> np.ndarray:
+        return (
+            np.concatenate(self._constraint_upper)
+            if self._constraint_upper
+            else np.zeros(0)
+        )
+
+    @property
+    def num_constraints(self) -> int:
+        return sum(self._constraint_sizes)
+
+    # ------------------------------------------------------------------
+    def _leaf_names(self):
+        x_name = self.ocp_config.get_variables().name
+        p_name = self._reference.name if self._reference is not None else None
+        return x_name, p_name
+
+    def _build_nlp_fns(self):
+        f_fn = self.get_cost_function()
+        constraints = list(self._constraints)
+        if constraints:
+            leaf = self._leaf_names()
+
+            def g_fn(X, P):
+                parts = [
+                    jnp.atleast_1d(_eval_term(c, X, P, leaf, scalar=False))
+                    for c in constraints
+                ]
+                return jnp.concatenate(parts)
+
+        else:
+            g_fn = None
+        return f_fn, g_fn
+
+    def gen_solver(self) -> None:
+        """Trace the NLP and construct the selected backend
+        (``genSolver``, cpp:224-442)."""
+        if self.ocp_config.num_variables == 0:
+            raise RuntimeError("Status or input variables are empty")
+        if not self._constraints:
+            raise RuntimeError("Constraints are empty")  # cpp:230-233
+
+        f_fn, g_fn = self._build_nlp_fns()
+        self._nlp_fns = (f_fn, g_fn)
+
+        st = self.solver_settings
+        if st.solver_type in (SolverType.TPU_SQP, SolverType.MIXED, SolverType.SQP):
+            nlp = {
+                "x": self.ocp_config.get_variables(),
+                "f": f_fn,
+                "g": g_fn,
+                "p": self.reference_size,
+            }
+            options = SQPOptions(
+                max_iter=st.step_num,
+                alpha=st.alpha,
+                verbose=st.verbose,
+                formulation=st.formulation,
+                qp_warm_start=st.qp_warm_start,
+                dtype=st.dtype,
+                admm=st.admm,
+            )
+            self._solver = SQPOptimizationSolver(nlp, options)
+        self._generated = True
+
+        if st.verbose:
+            print(
+                "Problem dimensions:\n"
+                f"Variables: {self.ocp_config.num_variables}\n"
+                f"Constraints: {self.num_constraints}\n"
+                f"Parameters: {self.reference_size}"
+            )
+
+    # ------------------------------------------------------------------
+    def solver_input_check(self, arg: Dict[str, Any]) -> bool:
+        """Dimension validation (``solverInputCheck``, cpp:511-552)."""
+        n_g = self.num_constraints
+        n_x = self.ocp_config.num_variables
+        n_p = self.reference_size
+        checks = [
+            ("lbg", n_g),
+            ("ubg", n_g),
+            ("lbx", n_x),
+            ("ubx", n_x),
+            ("x0", n_x),
+            ("p", n_p),
+        ]
+        for name, expected in checks:
+            actual = int(np.asarray(arg[name]).reshape(-1).shape[0])
+            if actual != expected:
+                ocp_warn(f"{name} has wrong dimension: expected {expected}, got {actual}")
+                return False
+        return True
+
+    def compute_optimal_trajectory(self, frame, reference=None) -> None:
+        """One MPC tick (``computeOptimalTrajectory``, cpp:78-222).
+
+        ``frame`` is the measured state for the first discretization step; it
+        is imposed by pinning the first-frame box bounds (cpp:93-96).
+        """
+        if not self._generated:
+            raise RuntimeError("gen_solver() must be called before solving")
+        cfg = self.ocp_config
+        frame = np.asarray(frame, dtype=np.float64).reshape(-1)
+        if frame.shape[0] != cfg.get_frame_size():
+            raise ValueError(
+                f"State dimension mismatch: received {frame.shape[0]}, "
+                f"expected {cfg.get_frame_size()}"
+            )
+        if reference is None:
+            reference = np.zeros(0)
+        reference = np.asarray(reference, dtype=np.float64).reshape(-1)
+        if reference.shape[0] != self.reference_size:
+            raise ValueError(
+                f"Reference dimension mismatch: received {reference.shape[0]}, "
+                f"expected {self.reference_size}"
+            )
+
+        lbx = cfg.lower_bounds_flat().copy()
+        ubx = cfg.upper_bounds_flat().copy()
+        fs = cfg.get_frame_size()
+        lbx[:fs] = frame  # first-frame pinning (cpp:95-96)
+        ubx[:fs] = frame
+        lbg = self.get_constraint_lower_bounds()
+        ubg = self.get_constraint_upper_bounds()
+
+        if self._first_time:
+            ig = cfg.get_initial_guess()
+            x0 = ig if ig is not None else np.zeros(cfg.num_variables)
+        else:
+            x0 = np.asarray(self._optimal_trajectory)
+
+        arg = {
+            "lbx": lbx,
+            "ubx": ubx,
+            "lbg": lbg,
+            "ubg": ubg,
+            "x0": x0,
+            "p": reference,
+        }
+        if not self.solver_input_check(arg):
+            raise RuntimeError("Solver input validation failed")
+
+        st = self.solver_settings
+        stype = st.solver_type
+        if stype == SolverType.MIXED:
+            # First tick uses the interior-point reference; later ticks pick
+            # SQP unless there is no trajectory yet or the previous objective
+            # stayed above 1e-6 (cpp:153-161 intent; note the reference's own
+            # branch effectively always picks SQP after tick 1 because `res`
+            # is freshly default-constructed each call, cpp:92).
+            if (
+                self._first_time
+                or self._optimal_trajectory is None
+                or (self._last_f is not None and self._last_f > 1e-6)
+            ):
+                stype = SolverType.IPOPT
+            else:
+                stype = SolverType.TPU_SQP
+
+        if stype == SolverType.TPU_SQP:
+            res = self._solver.get_optimal_solution(arg)
+            x_sol = np.asarray(res["x"], dtype=np.float64)
+            f_sol = float(res["f"])
+        else:
+            f_fn, g_fn = self._nlp_fns
+            method = "trust-constr" if stype == SolverType.IPOPT else "SLSQP"
+            res = solve_nlp_host(
+                f_fn, g_fn, x0, reference, lbx, ubx, lbg, ubg, method=method
+            )
+            x_sol = res["x"]
+            f_sol = float(res["f"])
+            if self._solver is not None:
+                # Seed the TPU solver's persistent iterate so a MIXED
+                # hand-off continues from the host solution.
+                self._solver._result_x = jnp.asarray(x_sol, self._solver.dtype)
+
+        self._first_time = False
+        self._optimal_trajectory = jnp.asarray(x_sol)
+        self._last_f = f_sol
+
+        if st.verbose:
+            print("=================== result ===================")
+            print(f"objective: {f_sol}")
+            print(f"solution: {x_sol}")
+
+    def get_optimal_trajectory(self):
+        """Latest full-horizon solution (``getOptimalTrajectory``, cpp:554-556)."""
+        return self._optimal_trajectory
+
+    def get_optimal_frames(self) -> np.ndarray:
+        """Solution reshaped to ``(horizon, frame_size)``."""
+        if self._optimal_trajectory is None:
+            raise RuntimeError("no solution available")
+        cfg = self.ocp_config
+        return np.asarray(self._optimal_trajectory).reshape(
+            cfg.get_horizon(), cfg.get_frame_size()
+        )
+
+    # convenience passthroughs ------------------------------------------
+    def get_variable(self, step: int, name: str) -> Sym:
+        return self.ocp_config.get_variable(step, name)
+
+    def set_solver_type(self, stype: SolverType) -> None:
+        self.solver_settings.solver_type = stype
+
+    def get_solver_type(self) -> SolverType:
+        return self.solver_settings.solver_type
+
+    @property
+    def solver(self) -> Optional[SQPOptimizationSolver]:
+        return self._solver
+
+    @property
+    def nlp_functions(self):
+        """(f_fn, g_fn) after gen_solver()."""
+        return self._nlp_fns
+
+
+# ----------------------------------------------------------------------
+def _sym_quadform(w: np.ndarray, cost: Sym) -> Sym:
+    """Build sum_i w_i c_i^2 as a Sym (addVectorCost, cpp:574-586)."""
+    from .sym import Sym as _S
+
+    return _S(
+        lambda env, memo: jnp.sum(
+            jnp.asarray(w, cost._ev(env, memo).dtype) * jnp.square(cost._ev(env, memo))
+        ).reshape(1),
+        (1,),
+        (cost,),
+    )
+
+
+def _expr_size(expr, ocp: "OptimalControlProblem") -> int:
+    """Static output size of a cost/constraint term."""
+    if isinstance(expr, Sym):
+        return expr.size1()
+    import jax
+
+    n_x = ocp.ocp_config.num_variables
+    n_p = ocp.reference_size
+    shape = jax.eval_shape(
+        lambda X, P: jnp.asarray(expr(X, P)).reshape(-1),
+        jnp.zeros((n_x,)),
+        jnp.zeros((n_p,)),
+    ).shape
+    return int(shape[0])
+
+
+def _eval_term(term, X, P, leaf_names, scalar: bool = True):
+    x_name, p_name = leaf_names
+    if isinstance(term, Sym):
+        env = {x_name: X}
+        if p_name is not None:
+            env[p_name] = P
+        out = evaluate(term, env)
+        return out[0] if scalar else out
+    out = jnp.asarray(term(X, P))
+    return out.reshape(()) if scalar else out.reshape(-1)

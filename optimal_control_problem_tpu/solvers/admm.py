@@ -1,0 +1,310 @@
+"""OSQP-style ADMM quadratic-program solver, TPU-native.
+
+This replaces the reference's entire L1 QP stack — ``CuCaQP`` (the
+CasADi-DM -> Eigen-sparse -> OsqpEigen bridge,
+``/root/reference/src/sqp_solver/CuCaQP.cpp``) plus the prebuilt OSQP CUDA
+backend it drives (``cuda_install.sh:38``, cuBLAS/cuSPARSE links in
+``CMakeLists.txt:163-164``) — with a single pure-JAX function.
+
+Solved problem (OSQP standard form, ``SQP_readme.md:7-19``)::
+
+    minimize    1/2 x^T P x + q^T x
+    subject to  l <= A x <= u
+
+Semantics intentionally mirrored from OSQP v1.0.0-beta1 as configured by the
+reference (``SQPOptimizationSolver.cpp:80-85``): float32 arithmetic
+(``OSQP_USE_FLOAT=ON``, ``cuda_install.sh:44``), ``eps_abs = eps_rel = 1e-3``,
+``max_iter = 10000``, warm starting, modified-Ruiz equilibration, per-row rho
+with equality/loose-bound scaling, over-relaxed ADMM iteration with
+``alpha = 1.6`` and ``sigma = 1e-6``.
+
+TPU-first design choices (vs OSQP's sparse LDL^T / CUDA PCG):
+
+* The linear system is solved by **precomputing an explicit inverse** of the
+  (quasi-definite) KKT matrix once per setup / rho update.  Each ADMM
+  iteration is then a single dense matvec — MXU/VPU work with no
+  data-dependent control flow, which batches perfectly under ``vmap``.
+* Everything lives in one jitted program: no per-iteration host round trips,
+  no solver re-initialization (the reference re-converts and re-uploads the
+  whole problem every SQP iteration, ``SQPOptimizationSolver.cpp:155-157``).
+* Termination runs in chunks of ``check_every`` iterations inside a
+  ``lax.while_loop`` so converged problems exit early while remaining
+  entirely on device.
+
+The module is written for a single problem; batch by ``jax.vmap`` (thousands
+of independent QPs per chip) — see ``parallel/batch.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ADMMSettings", "QPSolution", "admm_solve", "ruiz_equilibrate"]
+
+# OSQP constants (osqp v1.0.0-beta1 defaults; the reference overrides only the
+# tolerances/max_iter listed in SQPOptimizationSolver.cpp:80-85).
+_RHO_MIN = 1e-6
+_RHO_MAX = 1e6
+_RHO_EQ_OVER_RHO_INEQ = 1e3
+_RHO_TOL = 1e-4
+_MIN_SCALING = 1e-4
+_MAX_SCALING = 1e4
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMSettings:
+    """Static solver settings (hashable; safe to close over under jit)."""
+
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6  # over-relaxation
+    eps_abs: float = 1e-3  # SQPOptimizationSolver.cpp:83
+    eps_rel: float = 1e-3  # SQPOptimizationSolver.cpp:84
+    max_iter: int = 10000  # SQPOptimizationSolver.cpp:85
+    check_every: int = 25  # OSQP check_termination default
+    scaling_iters: int = 10  # OSQP scaling default
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 100
+    adaptive_rho_tolerance: float = 5.0
+    method: str = "kkt"  # "kkt" (robust, quasi-definite) | "condensed" (fast)
+
+    def replace(self, **kw) -> "ADMMSettings":
+        return dataclasses.replace(self, **kw)
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray  # primal solution (n,)
+    y: jnp.ndarray  # dual solution (m,)
+    z: jnp.ndarray  # constraint-space iterate, z in [l, u] (m,)
+    iters: jnp.ndarray  # iterations used (scalar int32)
+    converged: jnp.ndarray  # bool scalar
+    r_prim: jnp.ndarray  # final unscaled primal residual (inf-norm)
+    r_dual: jnp.ndarray  # final unscaled dual residual (inf-norm)
+
+
+def _limit_scaling(v: jnp.ndarray) -> jnp.ndarray:
+    """OSQP ``limit_scaling``: tiny norms -> 1 (no scaling), clamp large."""
+    v = jnp.where(v < _MIN_SCALING, 1.0, v)
+    return jnp.minimum(v, _MAX_SCALING)
+
+
+def ruiz_equilibrate(P, q, A, iters: int):
+    """Modified Ruiz equilibration of [[P, A^T], [A, 0]] with cost scaling.
+
+    Returns (Pb, qb, Ab, D, E, c) such that Pb = c*D@P@D, qb = c*D*q,
+    Ab = E*A*D (diagonal scalings as vectors).  Mirrors OSQP ``scale.c``.
+    """
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+    D = jnp.ones((n,), dtype)
+    E = jnp.ones((m,), dtype)
+    c = jnp.asarray(1.0, dtype)
+
+    def body(_, carry):
+        D, E, c = carry
+        Pb = c * (D[:, None] * P * D[None, :])
+        Ab = E[:, None] * A * D[None, :]
+        # column inf-norms of [Pb; Ab] -> x-block scaling
+        norm_x = jnp.maximum(
+            jnp.max(jnp.abs(Pb), axis=0), jnp.max(jnp.abs(Ab), axis=0) if m else 0.0
+        )
+        # column inf-norms of [Ab^T] -> constraint-block scaling
+        delta_x = 1.0 / jnp.sqrt(_limit_scaling(norm_x))
+        D = D * delta_x
+        if m:
+            norm_z = jnp.max(jnp.abs(Ab), axis=1)
+            delta_z = 1.0 / jnp.sqrt(_limit_scaling(norm_z))
+            E = E * delta_z
+        # cost scaling: gamma = 1/max(mean col-norm of Pb, ||qb||_inf)
+        Pb = c * (D[:, None] * P * D[None, :])
+        qb = c * D * q
+        mean_pcol = jnp.mean(jnp.max(jnp.abs(Pb), axis=0))
+        gamma = 1.0 / _limit_scaling(
+            jnp.maximum(mean_pcol, jnp.max(jnp.abs(qb)))
+        )
+        c = c * gamma
+        return D, E, c
+
+    if iters > 0:
+        D, E, c = jax.lax.fori_loop(0, iters, body, (D, E, c))
+    Pb = c * (D[:, None] * P * D[None, :])
+    qb = c * D * q
+    Ab = E[:, None] * A * D[None, :]
+    return Pb, qb, Ab, D, E, c
+
+
+def _rho_vec(l, u, rho, dtype):
+    """Per-row rho: loose bounds -> RHO_MIN, equalities -> rho * 1e3 (OSQP)."""
+    loose = jnp.logical_and(l <= -jnp.inf, u >= jnp.inf)
+    eq = (u - l) < _RHO_TOL
+    rho_v = jnp.full(l.shape, rho, dtype)
+    rho_v = jnp.where(eq, jnp.clip(rho * _RHO_EQ_OVER_RHO_INEQ, _RHO_MIN, _RHO_MAX), rho_v)
+    rho_v = jnp.where(loose, _RHO_MIN, rho_v)
+    return rho_v
+
+
+def _factor(Pb, Ab, rho_v, sigma, method: str):
+    """Precompute the per-iteration solve operator as an explicit inverse."""
+    n = Pb.shape[0]
+    m = Ab.shape[0]
+    if method == "condensed":
+        M = Pb + sigma * jnp.eye(n, dtype=Pb.dtype) + (Ab.T * rho_v[None, :]) @ Ab
+        return jnp.linalg.inv(M)
+    # Quasi-definite KKT matrix [[P + sigma I, A^T], [A, -diag(1/rho)]]:
+    # always invertible, tolerates indefinite P (the reference's non-convex
+    # test case 8, test.cpp:188-211, exercises this).
+    K = jnp.zeros((n + m, n + m), dtype=Pb.dtype)
+    K = K.at[:n, :n].set(Pb + sigma * jnp.eye(n, dtype=Pb.dtype))
+    K = K.at[:n, n:].set(Ab.T)
+    K = K.at[n:, :n].set(Ab)
+    K = K.at[n:, n:].set(jnp.diag(-1.0 / rho_v))
+    return jnp.linalg.inv(K)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def admm_solve(
+    P: jnp.ndarray,
+    q: jnp.ndarray,
+    A: jnp.ndarray,
+    l: jnp.ndarray,
+    u: jnp.ndarray,
+    settings: ADMMSettings = ADMMSettings(),
+    x0: Optional[jnp.ndarray] = None,
+    y0: Optional[jnp.ndarray] = None,
+) -> QPSolution:
+    """Solve one QP.  All arrays dense; use IEEE +-inf for absent bounds.
+
+    ``x0``/``y0`` warm-start the iteration (OSQP ``warm_start``,
+    ``SQPOptimizationSolver.cpp:82``).
+    """
+    dtype = P.dtype
+    n = P.shape[0]
+    m = A.shape[0]
+    q = q.astype(dtype)
+    A = A.astype(dtype)
+    l = l.astype(dtype)
+    u = u.astype(dtype)
+    # Guard against inverted bounds from float noise.
+    l = jnp.minimum(l, u)
+
+    st = settings
+    sigma = jnp.asarray(st.sigma, dtype)
+    alpha = jnp.asarray(st.alpha, dtype)
+
+    Pb, qb, Ab, D, E, c = ruiz_equilibrate(P, q, A, st.scaling_iters)
+    lb = E * l
+    ub = E * u
+    rho_v = _rho_vec(lb, ub, jnp.asarray(st.rho, dtype), dtype)
+    OP = _factor(Pb, Ab, rho_v, sigma, st.method)
+
+    x = jnp.zeros((n,), dtype) if x0 is None else (x0.astype(dtype) / D)
+    y = jnp.zeros((m,), dtype) if y0 is None else (c * y0.astype(dtype) / E)
+    z = jnp.clip(Ab @ x, lb, ub)
+
+    def one_iter(carry, _):
+        x, z, y, rho_v, OP = carry
+        if st.method == "condensed":
+            rhs = sigma * x - qb + Ab.T @ (rho_v * z - y)
+            xt = OP @ rhs
+            zt = Ab @ xt
+        else:
+            rhs = jnp.concatenate([sigma * x - qb, z - y / rho_v])
+            sol = OP @ rhs
+            xt = sol[:n]
+            zt = z + (sol[n:] - y) / rho_v
+        x_new = alpha * xt + (1 - alpha) * x
+        z_relaxed = alpha * zt + (1 - alpha) * z
+        z_new = jnp.clip(z_relaxed + y / rho_v, lb, ub)
+        y_new = y + rho_v * (z_relaxed - z_new)
+        return (x_new, z_new, y_new, rho_v, OP), None
+
+    def residuals(x, z, y):
+        Ax = Ab @ x
+        Px = Pb @ x
+        Aty = Ab.T @ y
+        Einv = 1.0 / E
+        Dinv = 1.0 / D
+        cinv = 1.0 / c
+        r_prim = jnp.max(jnp.abs((Ax - z) * Einv)) if m else jnp.asarray(0.0, dtype)
+        r_dual = cinv * jnp.max(jnp.abs((Px + qb + Aty) * Dinv))
+        max_prim = (
+            jnp.maximum(jnp.max(jnp.abs(Ax * Einv)), jnp.max(jnp.abs(z * Einv)))
+            if m
+            else jnp.asarray(0.0, dtype)
+        )
+        max_dual = cinv * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Aty * Dinv)), jnp.max(jnp.abs(Px * Dinv))),
+            jnp.max(jnp.abs(qb * Dinv)),
+        )
+        eps_pri = st.eps_abs + st.eps_rel * max_prim
+        eps_dua = st.eps_abs + st.eps_rel * max_dual
+        return r_prim, r_dual, eps_pri, eps_dua, max_prim, max_dual
+
+    def cond_fn(state):
+        it, x, z, y, rho_v, OP, done, rp, rd = state
+        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+
+    def body_fn(state):
+        it, x, z, y, rho_v, OP, done, _, _ = state
+        (x, z, y, rho_v, OP), _ = jax.lax.scan(
+            one_iter, (x, z, y, rho_v, OP), None, length=st.check_every
+        )
+        it = it + st.check_every
+        r_prim, r_dual, eps_pri, eps_dua, max_prim, max_dual = residuals(x, z, y)
+        done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+
+        if st.adaptive_rho and m:
+            def maybe_adapt(args):
+                rho_v, OP = args
+                # rho <- rho * sqrt(relative primal res / relative dual res)
+                num = r_prim / jnp.maximum(max_prim, 1e-10)
+                den = r_dual / jnp.maximum(max_dual, 1e-10)
+                scale = jnp.sqrt(num / jnp.maximum(den, 1e-10))
+                scale = jnp.clip(scale, 1e-3, 1e3)
+                trigger = jnp.logical_or(
+                    scale > st.adaptive_rho_tolerance,
+                    scale < 1.0 / st.adaptive_rho_tolerance,
+                )
+
+                def adapt(_):
+                    new_rho = jnp.clip(rho_v * scale, _RHO_MIN, _RHO_MAX)
+                    return new_rho, _factor(Pb, Ab, new_rho, sigma, st.method)
+
+                return jax.lax.cond(
+                    jnp.logical_and(trigger, jnp.logical_not(done)),
+                    adapt,
+                    lambda _: (rho_v, OP),
+                    None,
+                )
+
+            do_adapt = (it % st.adaptive_rho_interval) < st.check_every
+            rho_v, OP = jax.lax.cond(
+                do_adapt, maybe_adapt, lambda a: a, (rho_v, OP)
+            )
+
+        return (it, x, z, y, rho_v, OP, done, r_prim, r_dual)
+
+    it0 = jnp.asarray(0, jnp.int32)
+    done0 = jnp.asarray(False)
+    zero = jnp.asarray(jnp.inf, dtype)
+    state = (it0, x, z, y, rho_v, OP, done0, zero, zero)
+    it, x, z, y, rho_v, OP, done, r_prim, r_dual = jax.lax.while_loop(
+        cond_fn, body_fn, state
+    )
+
+    # Unscale: x = D xbar, y = E ybar / c, z = zbar / E.
+    return QPSolution(
+        x=D * x,
+        y=E * y / c,
+        z=z / E,
+        iters=it,
+        converged=done,
+        r_prim=r_prim,
+        r_dual=r_dual,
+    )

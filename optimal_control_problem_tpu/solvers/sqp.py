@@ -1,0 +1,380 @@
+"""SQP engine — the TPU-native replacement for the reference's core IP,
+``SQPOptimizationSolver`` (``/root/reference/src/sqp_solver/SQPOptimizationSolver.{h,cpp}``)
+and its ``AutoDifferentiator`` helper
+(``/root/reference/src/sqp_solver/AutoDifferentiator.cpp``).
+
+Replicated semantics (see SURVEY.md section 3.2):
+
+* **Augmented-variable formulation** (``SQPOptimizationSolver.cpp:50-55``):
+  the QP decision vector is ``dz = [dp; dx]`` and the linearized constraint
+  stack is ``[p; x; g]`` so that identity rows pin ``dp = 0`` and impose the
+  box bounds on ``x`` as general linear constraints.
+* The Hessian is the **exact Hessian of the objective only** — not of the
+  Lagrangian (``SQPOptimizationSolver.cpp:58``): a Newton-on-objective SQP.
+* Linearized bounds ``l_lin = l - c(z_k)``, ``u_lin = u - c(z_k)`` where
+  ``c = [p; x; g]`` at the current iterate (``AutoDifferentiator.cpp:132-140``
+  returns ``-F(point)``; ``SQPOptimizationSolver.cpp:70-71``).
+* Damped update ``x += alpha * dz[n_p:]`` with fixed ``alpha`` and a fixed
+  iteration count ``step_num`` (``SQPOptimizationSolver.cpp:167-177``; in
+  non-verbose mode the reference always runs all iterations,
+  ``cpp:189-196``).
+* Warm start across calls: the solver's ``result_`` persists and the next
+  call continues from it; the incoming ``arg["x0"]`` is **ignored** by this
+  backend, exactly like the reference (``cpp:100-120`` uses
+  ``result_.at("x")``, initialized to zeros at ``cpp:88-91``).
+
+TPU-native differences: CasADi symbolic AD + codegen becomes ``jax.grad`` /
+``jax.hessian`` / ``jax.jacfwd`` on traced pure functions; the entire SQP loop
+(including every inner ADMM solve) is ONE jitted XLA program — where the
+reference re-assembles matrices on the CPU and re-initializes OSQP with a
+host->device upload on every iteration (``cpp:137-198``), we stay on device
+for the full solve, and ``jax.vmap`` batches thousands of independent solves.
+
+Also provided (beyond the reference): a ``reduced`` formulation that
+eliminates the pinned ``dp`` rows from the QP. It is mathematically
+equivalent (with ``dp = 0`` enforced exactly rather than to QP tolerance)
+and substantially cheaper when the reference signal is long.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sym import Sym, compile_fn
+from .admm import ADMMSettings, admm_solve
+
+__all__ = ["SQPOptions", "SQPResult", "SQPOptimizationSolver", "normalize_nlp"]
+
+
+class SQPResult(NamedTuple):
+    x: jnp.ndarray  # final iterate (n_x,)
+    f: jnp.ndarray  # objective at final iterate (scalar)
+    qp_x: jnp.ndarray  # last QP primal (for warm starting)
+    qp_y: jnp.ndarray  # last QP dual
+    f_history: jnp.ndarray  # objective after each SQP iteration (step_num,)
+    qp_iters: jnp.ndarray  # ADMM iterations per SQP step (step_num,)
+    step_norms: jnp.ndarray  # ||alpha*dx|| per SQP step (step_num,)
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPOptions:
+    """Options mirroring the reference's ctor dict
+    (``SQPOptimizationSolver.cpp:12-17``: ``max_iter``, ``alpha``,
+    ``verbose``) plus TPU-specific extensions."""
+
+    max_iter: int = 10  # step_num / "ADMM_step" in readme.md:61
+    alpha: float = 0.1  # "SQP_step" in readme.md:60
+    verbose: bool = False
+    formulation: str = "augmented"  # "augmented" (parity) | "reduced" (fast)
+    qp_warm_start: bool = True
+    dtype: Any = jnp.float32
+    admm: ADMMSettings = ADMMSettings()
+
+
+def normalize_nlp(nlp: Dict[str, Any]):
+    """Accept the reference-shaped nlp dict and normalize to callables.
+
+    ``nlp`` keys (mirroring the CasADi ``SXDict`` at
+    ``OptimalControlProblem.cpp:235-240``):
+
+    * ``"x"``: decision variables — a leaf :class:`Sym` or an int size.
+    * ``"f"``: objective — a scalar :class:`Sym` or callable ``f(x, p)``.
+    * ``"g"``: constraints — :class:`Sym`, callable, or absent/None.
+    * ``"p"``: parameters — leaf :class:`Sym`, int size, or absent/None.
+
+    Returns ``(f_fn, g_fn, n_x, n_p, n_g)`` with ``f_fn(x, p) -> scalar`` and
+    ``g_fn(x, p) -> (n_g,)`` (``g_fn`` is None when there are no constraints).
+    """
+    if "x" not in nlp:
+        raise ValueError("optimization variable 'x' not defined")  # cpp:25-27
+    if "f" not in nlp:
+        raise ValueError("objective 'f' not defined")  # cpp:20-22
+
+    xspec = nlp["x"]
+    pspec = nlp.get("p", None)
+    if isinstance(xspec, Sym):
+        n_x = xspec.size1()
+        x_name = xspec.name
+        if x_name is None:
+            raise ValueError("'x' must be a leaf symbol")
+    else:
+        n_x = int(xspec)
+        x_name = None
+
+    if pspec is None:
+        n_p, p_name = 0, None
+    elif isinstance(pspec, Sym):
+        n_p, p_name = pspec.size1(), pspec.name
+    else:
+        n_p, p_name = int(pspec), None
+
+    def wrap(expr_or_fn, out_scalar):
+        if expr_or_fn is None:
+            return None, 0
+        if isinstance(expr_or_fn, Sym):
+            if x_name is None:
+                raise ValueError(
+                    "Sym expressions require 'x' to be a leaf symbol"
+                )
+            names = [x_name] + ([p_name] if p_name else [])
+            size = expr_or_fn.size1()
+
+            def fn(x, p):
+                env = {x_name: x}
+                if p_name:
+                    env[p_name] = p
+                from ..sym import evaluate
+
+                out = evaluate(expr_or_fn, env)
+                return out[0] if out_scalar else out
+
+            return fn, size
+        fn_raw = expr_or_fn
+
+        def fn(x, p):
+            out = jnp.asarray(fn_raw(x, p))
+            if out_scalar:
+                return out.reshape(())
+            return out.reshape(-1)
+
+        return fn, None
+
+    f_fn, _ = wrap(nlp["f"], out_scalar=True)
+    gspec = nlp.get("g", None)
+    if isinstance(gspec, Sym) and gspec.size1() == 0:
+        gspec = None
+    g_fn, n_g = wrap(gspec, out_scalar=False)
+    if g_fn is not None and n_g is None:
+        # Callable constraints: probe the output size by tracing.
+        n_g = int(
+            jax.eval_shape(
+                g_fn, jnp.zeros((n_x,)), jnp.zeros((n_p,))
+            ).shape[0]
+        )
+    if g_fn is None:
+        n_g = 0
+    return f_fn, g_fn, n_x, n_p, n_g
+
+
+def build_local_system_fn(
+    f_fn: Callable,
+    g_fn: Optional[Callable],
+    n_x: int,
+    n_p: int,
+    n_g: int,
+    formulation: str,
+    dtype,
+):
+    """Build the jitted local-QP assembly — the analog of the reference's
+    ``localSystemFunction_`` (``SQPOptimizationSolver.cpp:74-77``): maps
+    ``(p, x, l, u) -> (H, grad, A, l_lin, u_lin)``.
+
+    All derivatives come from JAX tracing (replacing ``AutoDifferentiator``'s
+    CasADi hessian/gradient/jacobian, ``AutoDifferentiator.cpp:16-28``).
+    """
+    if formulation not in ("augmented", "reduced"):
+        raise ValueError(f"unknown formulation {formulation!r}")
+    augmented = formulation == "augmented"
+
+    if augmented:
+        nz = n_p + n_x
+
+        def f_z(z):
+            return f_fn(z[n_p:], z[:n_p])
+
+        def c_z(z):
+            if g_fn is None:
+                return z
+            return jnp.concatenate([z, g_fn(z[n_p:], z[:n_p])])
+
+        def local_system(x, p, lbx, ubx, lbg, ubg):
+            z = jnp.concatenate([p, x]).astype(dtype)
+            H = jax.hessian(f_z)(z)
+            grad = jax.grad(f_z)(z)
+            cval = c_z(z)
+            J = jax.jacfwd(c_z)(z) if g_fn is not None else jnp.eye(nz, dtype=dtype)
+            A = J
+            lower = jnp.concatenate([p, lbx, lbg]).astype(dtype)
+            upper = jnp.concatenate([p, ubx, ubg]).astype(dtype)
+            return H, grad, A, lower - cval, upper - cval
+
+    else:
+
+        def local_system(x, p, lbx, ubx, lbg, ubg):
+            x = x.astype(dtype)
+            fx = lambda xx: f_fn(xx, p)
+            H = jax.hessian(fx)(x)
+            grad = jax.grad(fx)(x)
+            if g_fn is not None:
+                gx = lambda xx: g_fn(xx, p)
+                gval = gx(x)
+                J = jax.jacfwd(gx)(x)
+                A = jnp.concatenate([jnp.eye(n_x, dtype=dtype), J], axis=0)
+                cval = jnp.concatenate([x, gval])
+            else:
+                A = jnp.eye(n_x, dtype=dtype)
+                cval = x
+            lower = jnp.concatenate([lbx, lbg]).astype(dtype)
+            upper = jnp.concatenate([ubx, ubg]).astype(dtype)
+            return H, grad, A, lower - cval, upper - cval
+
+    return local_system
+
+
+class SQPOptimizationSolver:
+    """Stateful solver with reference-parity API, wrapping one jitted solve.
+
+    The raw jitted functional core is exposed as :attr:`solve_fn` for
+    composition with ``vmap`` / ``shard_map`` (batched scenario MPC).
+    """
+
+    def __init__(self, nlp: Dict[str, Any], options: Optional[Dict | SQPOptions] = None):
+        if options is None:
+            options = SQPOptions()
+        elif isinstance(options, dict):
+            # Reference option names: max_iter (= step count), alpha, verbose
+            # (SQPOptimizationSolver.cpp:14-17).
+            known = {f.name for f in dataclasses.fields(SQPOptions)}
+            opts = {k: v for k, v in options.items() if k in known}
+            options = SQPOptions(**opts)
+        self.options = options
+        self.f_fn, self.g_fn, self.n_x, self.n_p, self.n_g = normalize_nlp(nlp)
+        self.dtype = options.dtype
+        self._verbose = options.verbose
+
+        self.local_system = build_local_system_fn(
+            self.f_fn,
+            self.g_fn,
+            self.n_x,
+            self.n_p,
+            self.n_g,
+            options.formulation,
+            self.dtype,
+        )
+        aug = options.formulation == "augmented"
+        self._qp_n = (self.n_p + self.n_x) if aug else self.n_x
+        self._qp_m = self._qp_n + self.n_g
+
+        self.solve_fn = self._build_solve_fn()
+
+        # Persistent warm-start state, analog of ``result_``
+        # (SQPOptimizationSolver.cpp:88-91): starts at zeros.
+        self._result_x = jnp.zeros((self.n_x,), self.dtype)
+        self._result_f = jnp.zeros((), self.dtype)
+        self._qp_x = jnp.zeros((self._qp_n,), self.dtype)
+        self._qp_y = jnp.zeros((self._qp_m,), self.dtype)
+
+    # -- functional core --------------------------------------------------
+    def _build_solve_fn(self):
+        opt = self.options
+        n_p = self.n_p
+        aug = opt.formulation == "augmented"
+        alpha = opt.alpha
+        local_system = self.local_system
+        f_fn = self.f_fn
+        admm_settings = opt.admm
+
+        def solve(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
+            x_init = x_init.astype(opt.dtype)
+            p = p.astype(opt.dtype)
+
+            def sqp_iter(carry, _):
+                x, qpx, qpy = carry
+                H, grad, A, low, up = local_system(x, p, lbx, ubx, lbg, ubg)
+                sol = admm_solve(
+                    H,
+                    grad,
+                    A,
+                    low,
+                    up,
+                    admm_settings,
+                    x0=qpx if opt.qp_warm_start else None,
+                    y0=qpy if opt.qp_warm_start else None,
+                )
+                dx = sol.x[n_p:] if aug else sol.x
+                x_new = x + alpha * dx
+                fval = f_fn(x_new, p)
+                step_norm = jnp.linalg.norm(alpha * dx)
+                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
+
+            (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
+                sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
+            )
+            return SQPResult(
+                x=x,
+                f=f_hist[-1],
+                qp_x=qpx,
+                qp_y=qpy,
+                f_history=f_hist,
+                qp_iters=qp_iters,
+                step_norms=step_norms,
+            )
+
+        return jax.jit(solve)
+
+    # -- reference-parity stateful API ------------------------------------
+    def get_optimal_solution(self, arg: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Run ``step_num`` SQP iterations from the persisted iterate.
+
+        Mirrors ``getOptimalSolution`` (``SQPOptimizationSolver.cpp:127-216``)
+        including the quirk that ``arg["x0"]`` is ignored: iteration always
+        continues from the internal ``result_`` state (cross-tick warm
+        start).  Pass ``lbx/ubx/lbg/ubg`` and optionally ``p``.
+        """
+        dt = self.dtype
+        lbx = jnp.asarray(arg["lbx"], dt).reshape(-1)
+        ubx = jnp.asarray(arg["ubx"], dt).reshape(-1)
+        p = jnp.asarray(arg.get("p", np.zeros((self.n_p,))), dt).reshape(-1)
+        lbg = jnp.asarray(arg.get("lbg", np.zeros((0,))), dt).reshape(-1)
+        ubg = jnp.asarray(arg.get("ubg", np.zeros((0,))), dt).reshape(-1)
+        if lbx.shape[0] != self.n_x or ubx.shape[0] != self.n_x:
+            raise ValueError(
+                f"lbx/ubx must have size {self.n_x}, got {lbx.shape[0]}/{ubx.shape[0]}"
+            )
+        if lbg.shape[0] != self.n_g or ubg.shape[0] != self.n_g:
+            raise ValueError(
+                f"lbg/ubg must have size {self.n_g}, got {lbg.shape[0]}/{ubg.shape[0]}"
+            )
+        if p.shape[0] != self.n_p:
+            raise ValueError(f"p must have size {self.n_p}, got {p.shape[0]}")
+
+        res = self.solve_fn(
+            self._result_x, p, lbx, ubx, lbg, ubg, self._qp_x, self._qp_y
+        )
+        self._result_x = res.x
+        self._result_f = res.f
+        self._qp_x = res.qp_x
+        self._qp_y = res.qp_y
+
+        if self._verbose:
+            print("=== SQP done ===")
+            print(f"  iterations: {self.options.max_iter}, alpha: {self.options.alpha}")
+            print(f"  qp iters per step: {np.asarray(res.qp_iters)}")
+            print(f"  f history: {np.asarray(res.f_history)}")
+            print(f"  x = {np.asarray(res.x)}")
+        return {"x": res.x, "f": res.f}
+
+    def reset(self) -> None:
+        """Clear the persistent iterate back to zeros (fresh ``result_``)."""
+        self._result_x = jnp.zeros((self.n_x,), self.dtype)
+        self._result_f = jnp.zeros((), self.dtype)
+        self._qp_x = jnp.zeros((self._qp_n,), self.dtype)
+        self._qp_y = jnp.zeros((self._qp_m,), self.dtype)
+
+    def get_local_system_function(self):
+        """Expose the local-QP assembly, analog of
+        ``getSXLocalSystemFunction`` (``SQPOptimizationSolver.cpp:222-224``) —
+        used by the serialization path (``OptimalControlProblem.cpp:404-424``);
+        here serialization is simply re-tracing, so we return the jitted fn."""
+        return jax.jit(self.local_system)
+
+    def set_verbose(self, verbose: bool) -> None:
+        self._verbose = bool(verbose)
