@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: batched horizon-20 SQP solves/s per chip.
+
+Canonical problem (BASELINE.md): double-integrator tracking, dt=0.005,
+horizon=20, SQP step_num=10 with damped alpha (reference SQP_settings,
+readme.md:60-61), ADMM inner QP at eps 1e-3 (SQPOptimizationSolver.cpp:83-85),
+4096 scenarios batched on one chip (BASELINE.json config 5).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+``vs_baseline`` is value / 1e4 (the >=1e4 solves/s/chip target; the reference
+itself publishes no numbers — BASELINE.json ``published: {}``).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    batch = int(os.environ.get("OCP_BENCH_BATCH", 4096))
+    ticks = int(os.environ.get("OCP_BENCH_TICKS", 20))
+    warmup = int(os.environ.get("OCP_BENCH_WARMUP", 3))
+
+    import jax
+
+    from optimal_control_problem_tpu.models import double_integrator as di
+    from optimal_control_problem_tpu.parallel import BatchedSolver
+    from optimal_control_problem_tpu.solvers.admm import ADMMSettings
+
+    H, dt = 20, 0.005
+    cfg = di.make_config(
+        horizon=H,
+        dt=dt,
+        solve_method="TPU_SQP",
+        alpha=0.1,
+        step_num=10,
+        formulation="reduced",
+        ADMM_settings={
+            "method": "condensed",
+            "eps_abs": 1e-3,
+            "eps_rel": 1e-3,
+            "max_iter": 1000,
+            "adaptive_rho": False,
+        },
+    )
+    ocp = di.build(cfg)
+    batched = BatchedSolver(ocp)
+
+    rng = np.random.default_rng(0)
+    frames = np.zeros((batch, di.FRAME), np.float32)
+    frames[:, 0:2] = rng.uniform(-1, 1, size=(batch, 2)).astype(np.float32)
+    ref_one = di.reference_circle(H, dt)
+    refs = np.tile(ref_one[None, :], (batch, 1)).astype(np.float32)
+
+    state = batched.init_state(batch)
+
+    # Warm up: compile + converge warm-start state to MPC steady state.
+    for _ in range(warmup):
+        trajs, objs, state = batched.solve(frames, refs, state)
+    jax.block_until_ready(trajs)
+
+    times = []
+    for _ in range(ticks):
+        t0 = time.perf_counter()
+        trajs, objs, state = batched.solve(frames, refs, state)
+        jax.block_until_ready(trajs)
+        times.append(time.perf_counter() - t0)
+
+    times = np.array(times)
+    p50 = float(np.percentile(times, 50))
+    p99 = float(np.percentile(times, 99))
+    solves_per_s = batch / p50
+
+    result = {
+        "metric": "batched_h20_sqp_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1e4, 3),
+        "p50_tick_ms": round(p50 * 1e3, 3),
+        "p99_tick_ms": round(p99 * 1e3, 3),
+        "batch": batch,
+        "horizon": H,
+        "sqp_iters": 10,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

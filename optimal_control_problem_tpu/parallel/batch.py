@@ -62,19 +62,42 @@ class BatchedSolver:
         self._lbg = jnp.asarray(ocp.get_constraint_lower_bounds(), self.dtype)
         self._ubg = jnp.asarray(ocp.get_constraint_upper_bounds(), self.dtype)
 
-        solve_fn = self.solver.solve_fn
         fs = self.frame_size
         lbx_t, ubx_t = self._lbx_tail, self._ubx_tail
         lbg, ubg = self._lbg, self._ubg
 
-        def one(frame, reference, x, qp_x, qp_y):
-            # First-frame pinning per scenario (cpp:93-96).
-            lbx_i = lbx_t.at[:fs].set(frame)
-            ubx_i = ubx_t.at[:fs].set(frame)
-            res = solve_fn(x, reference, lbx_i, ubx_i, lbg, ubg, qp_x, qp_y)
-            return res.x, res.f, res.qp_x, res.qp_y
+        if self.solver.solve_batch_fn is not None:
+            # Shared-system fast path: whole batch in one GEMM-ADMM program.
+            solve_batch = self.solver.solve_batch_fn
 
-        self._batched = jax.jit(jax.vmap(one))
+            def batched(frames, references, x, qp_x, qp_y):
+                B = frames.shape[0]
+                lbx = jnp.broadcast_to(lbx_t, (B, lbx_t.shape[0]))
+                ubx = jnp.broadcast_to(ubx_t, (B, ubx_t.shape[0]))
+                # First-frame pinning per scenario (cpp:93-96).
+                lbx = lbx.at[:, :fs].set(frames)
+                ubx = ubx.at[:, :fs].set(frames)
+                lbg_b = jnp.broadcast_to(lbg, (B, lbg.shape[0]))
+                ubg_b = jnp.broadcast_to(ubg, (B, ubg.shape[0]))
+                res = solve_batch(
+                    x, references, lbx, ubx, lbg_b, ubg_b, qp_x, qp_y
+                )
+                return res.x, res.f, res.qp_x, res.qp_y
+
+            self._batched = jax.jit(batched)
+        else:
+            solve_fn = self.solver.solve_fn
+
+            def one(frame, reference, x, qp_x, qp_y):
+                # First-frame pinning per scenario (cpp:93-96).
+                lbx_i = lbx_t.at[:fs].set(frame)
+                ubx_i = ubx_t.at[:fs].set(frame)
+                res = solve_fn(
+                    x, reference, lbx_i, ubx_i, lbg, ubg, qp_x, qp_y
+                )
+                return res.x, res.f, res.qp_x, res.qp_y
+
+            self._batched = jax.jit(jax.vmap(one))
 
     # ------------------------------------------------------------------
     def init_state(self, batch: int, x0: Optional[np.ndarray] = None) -> BatchState:

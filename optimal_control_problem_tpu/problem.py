@@ -105,6 +105,8 @@ class SolverSettings:
         # semantics as closely as possible).
         self.formulation = str(node.get("formulation", "augmented"))
         self.qp_warm_start = bool(node.get("qp_warm_start", True))
+        ss = node.get("shared_system", None)
+        self.shared_system = None if ss is None else bool(ss)
         self.dtype = jnp.float64 if node.get("precision", "f32") == "f64" else jnp.float32
         admm_node = node.get("ADMM_settings", {})
         self.admm = ADMMSettings(
@@ -367,6 +369,7 @@ class OptimalControlProblem:
                 qp_warm_start=st.qp_warm_start,
                 dtype=st.dtype,
                 admm=st.admm,
+                shared_system=st.shared_system,
             )
             self._solver = SQPOptimizationSolver(nlp, options)
         self._generated = True

@@ -61,6 +61,16 @@ class SQPResult(NamedTuple):
     step_norms: jnp.ndarray  # ||alpha*dx|| per SQP step (step_num,)
 
 
+try:  # allow jax.export artifacts containing SQPResult (serialization.py)
+    from jax import export as _jax_export
+
+    _jax_export.register_namedtuple_serialization(
+        SQPResult, serialized_name="ocp_tpu.SQPResult"
+    )
+except Exception:  # pragma: no cover - older jax without the helper
+    pass
+
+
 import dataclasses
 
 
@@ -77,6 +87,18 @@ class SQPOptions:
     qp_warm_start: bool = True
     dtype: Any = jnp.float32
     admm: ADMMSettings = ADMMSettings()
+    # Shared-system (LTI/LQ) fast path: one QP factorization shared by the
+    # whole batch, ADMM iterations as batch-wide GEMMs (admm_batched.py).
+    # None = auto-detect by probing whether (H, A) depend on (x, p).
+    shared_system: Optional[bool] = None
+    # Hessian convexification.  The reference uses the raw objective Hessian
+    # (SQPOptimizationSolver.cpp:58), which for nonlinear costs can be
+    # indefinite along unbounded directions -> unbounded QP -> divergence
+    # (OSQP would report dual infeasibility; the reference uses the result
+    # regardless).  "auto" shifts by the most negative eigenvalue + 1e-6;
+    # a float adds a fixed multiple of identity; 0.0 reproduces the
+    # reference exactly.
+    hessian_reg: Any = "auto"
 
 
 def normalize_nlp(nlp: Dict[str, Any]):
@@ -164,7 +186,7 @@ def normalize_nlp(nlp: Dict[str, Any]):
     return f_fn, g_fn, n_x, n_p, n_g
 
 
-def build_local_system_fn(
+def build_local_system_parts(
     f_fn: Callable,
     g_fn: Optional[Callable],
     n_x: int,
@@ -172,17 +194,41 @@ def build_local_system_fn(
     n_g: int,
     formulation: str,
     dtype,
+    hessian_reg="auto",
 ):
-    """Build the jitted local-QP assembly — the analog of the reference's
-    ``localSystemFunction_`` (``SQPOptimizationSolver.cpp:74-77``): maps
-    ``(p, x, l, u) -> (H, grad, A, l_lin, u_lin)``.
+    """Composable pieces of the local-QP assembly.
 
-    All derivatives come from JAX tracing (replacing ``AutoDifferentiator``'s
-    CasADi hessian/gradient/jacobian, ``AutoDifferentiator.cpp:16-28``).
+    Returns ``(matrices, vectors, stack_bounds)``:
+
+    * ``matrices(x, p) -> (H, A)`` — objective Hessian and the linearized
+      constraint-stack Jacobian;
+    * ``vectors(x, p) -> (grad, cval)`` — objective gradient and the value of
+      the constraint stack ``c`` at the point;
+    * ``stack_bounds(x, p, lbx, ubx, lbg, ubg) -> (lower, upper)`` — the raw
+      (un-shifted) bound stack.
+
+    Split out so the shared-system (LTI) batched path can compute ``(H, A)``
+    once while vmapping only the per-scenario vectors.
     """
     if formulation not in ("augmented", "reduced"):
         raise ValueError(f"unknown formulation {formulation!r}")
     augmented = formulation == "augmented"
+
+    def _regularize(H):
+        """Convexify an indefinite objective Hessian (SQPOptions.hessian_reg).
+
+        "auto" shifts the spectrum so the minimum eigenvalue is >= 1e-6 —
+        keeping convex problems bit-identical while preventing unbounded
+        local QPs for nonconvex costs (which the reference's raw Hessian
+        produces, SQPOptimizationSolver.cpp:58)."""
+        if hessian_reg == "auto":
+            w_min = jnp.linalg.eigvalsh(H)[0]
+            shift = jnp.maximum(jnp.asarray(0.0, H.dtype), 1e-6 - w_min)
+            return H + shift * jnp.eye(H.shape[0], dtype=H.dtype)
+        reg = float(hessian_reg)
+        if reg > 0.0:
+            return H + reg * jnp.eye(H.shape[0], dtype=H.dtype)
+        return H
 
     if augmented:
         nz = n_p + n_x
@@ -195,36 +241,81 @@ def build_local_system_fn(
                 return z
             return jnp.concatenate([z, g_fn(z[n_p:], z[:n_p])])
 
-        def local_system(x, p, lbx, ubx, lbg, ubg):
+        def matrices(x, p):
             z = jnp.concatenate([p, x]).astype(dtype)
-            H = jax.hessian(f_z)(z)
-            grad = jax.grad(f_z)(z)
-            cval = c_z(z)
-            J = jax.jacfwd(c_z)(z) if g_fn is not None else jnp.eye(nz, dtype=dtype)
-            A = J
+            H = _regularize(jax.hessian(f_z)(z))
+            A = (
+                jax.jacfwd(c_z)(z)
+                if g_fn is not None
+                else jnp.eye(nz, dtype=dtype)
+            )
+            return H, A
+
+        def vectors(x, p):
+            z = jnp.concatenate([p, x]).astype(dtype)
+            return jax.grad(f_z)(z), c_z(z)
+
+        def stack_bounds(p, lbx, ubx, lbg, ubg):
             lower = jnp.concatenate([p, lbx, lbg]).astype(dtype)
             upper = jnp.concatenate([p, ubx, ubg]).astype(dtype)
-            return H, grad, A, lower - cval, upper - cval
+            return lower, upper
 
     else:
 
-        def local_system(x, p, lbx, ubx, lbg, ubg):
+        def matrices(x, p):
             x = x.astype(dtype)
-            fx = lambda xx: f_fn(xx, p)
-            H = jax.hessian(fx)(x)
-            grad = jax.grad(fx)(x)
+            H = _regularize(jax.hessian(lambda xx: f_fn(xx, p))(x))
             if g_fn is not None:
-                gx = lambda xx: g_fn(xx, p)
-                gval = gx(x)
-                J = jax.jacfwd(gx)(x)
+                J = jax.jacfwd(lambda xx: g_fn(xx, p))(x)
                 A = jnp.concatenate([jnp.eye(n_x, dtype=dtype), J], axis=0)
-                cval = jnp.concatenate([x, gval])
             else:
                 A = jnp.eye(n_x, dtype=dtype)
+            return H, A
+
+        def vectors(x, p):
+            x = x.astype(dtype)
+            grad = jax.grad(lambda xx: f_fn(xx, p))(x)
+            if g_fn is not None:
+                cval = jnp.concatenate([x, g_fn(x, p)])
+            else:
                 cval = x
+            return grad, cval
+
+        def stack_bounds(p, lbx, ubx, lbg, ubg):
             lower = jnp.concatenate([lbx, lbg]).astype(dtype)
             upper = jnp.concatenate([ubx, ubg]).astype(dtype)
-            return H, grad, A, lower - cval, upper - cval
+            return lower, upper
+
+    return matrices, vectors, stack_bounds
+
+
+def build_local_system_fn(
+    f_fn: Callable,
+    g_fn: Optional[Callable],
+    n_x: int,
+    n_p: int,
+    n_g: int,
+    formulation: str,
+    dtype,
+    hessian_reg="auto",
+):
+    """Build the local-QP assembly — the analog of the reference's
+    ``localSystemFunction_`` (``SQPOptimizationSolver.cpp:74-77``): maps
+    ``(x, p, lbx, ubx, lbg, ubg) -> (H, grad, A, l_lin, u_lin)`` with
+    ``l_lin = l - c(z)`` (``AutoDifferentiator.cpp:132-140``).
+
+    All derivatives come from JAX tracing (replacing ``AutoDifferentiator``'s
+    CasADi hessian/gradient/jacobian, ``AutoDifferentiator.cpp:16-28``).
+    """
+    matrices, vectors, stack_bounds = build_local_system_parts(
+        f_fn, g_fn, n_x, n_p, n_g, formulation, dtype, hessian_reg
+    )
+
+    def local_system(x, p, lbx, ubx, lbg, ubg):
+        H, A = matrices(x, p)
+        grad, cval = vectors(x, p)
+        lower, upper = stack_bounds(p, lbx, ubx, lbg, ubg)
+        return H, grad, A, lower - cval, upper - cval
 
     return local_system
 
@@ -250,7 +341,7 @@ class SQPOptimizationSolver:
         self.dtype = options.dtype
         self._verbose = options.verbose
 
-        self.local_system = build_local_system_fn(
+        self._parts = build_local_system_parts(
             self.f_fn,
             self.g_fn,
             self.n_x,
@@ -258,12 +349,30 @@ class SQPOptimizationSolver:
             self.n_g,
             options.formulation,
             self.dtype,
+            options.hessian_reg,
         )
+        matrices, vectors, stack_bounds = self._parts
+
+        def local_system(x, p, lbx, ubx, lbg, ubg):
+            H, A = matrices(x, p)
+            grad, cval = vectors(x, p)
+            lower, upper = stack_bounds(p, lbx, ubx, lbg, ubg)
+            return H, grad, A, lower - cval, upper - cval
+
+        self.local_system = local_system
         aug = options.formulation == "augmented"
         self._qp_n = (self.n_p + self.n_x) if aug else self.n_x
         self._qp_m = self._qp_n + self.n_g
 
+        if options.shared_system is None:
+            self.shared_system = self._detect_shared_system()
+        else:
+            self.shared_system = bool(options.shared_system)
+
         self.solve_fn = self._build_solve_fn()
+        self.solve_batch_fn = (
+            self._build_solve_batch_fn() if self.shared_system else None
+        )
 
         # Persistent warm-start state, analog of ``result_``
         # (SQPOptimizationSolver.cpp:88-91): starts at zeros.
@@ -271,6 +380,36 @@ class SQPOptimizationSolver:
         self._result_f = jnp.zeros((), self.dtype)
         self._qp_x = jnp.zeros((self._qp_n,), self.dtype)
         self._qp_y = jnp.zeros((self._qp_m,), self.dtype)
+
+    # -- shared-system (LTI) detection ------------------------------------
+    def _detect_shared_system(self) -> bool:
+        """Probe whether (H, A) are independent of the evaluation point.
+
+        True for LQ/LTI problems (quadratic costs, linear dynamics), which
+        unlocks the shared-factorization batched ADMM (admm_batched.py).
+        Probing evaluates the traced matrices at two random points — exact
+        for the polynomial expressions produced by tracing.
+        """
+        matrices = self._parts[0]
+        rng = np.random.default_rng(12345)
+        fn = jax.jit(matrices)
+        try:
+            outs = []
+            for _ in range(2):
+                x = jnp.asarray(
+                    rng.normal(size=(self.n_x,)) * 0.7, self.dtype
+                )
+                p = jnp.asarray(
+                    rng.normal(size=(self.n_p,)) * 0.7, self.dtype
+                )
+                outs.append(fn(x, p))
+            (H1, A1), (H2, A2) = outs
+            return bool(
+                jnp.allclose(H1, H2, rtol=1e-4, atol=1e-5)
+                and jnp.allclose(A1, A2, rtol=1e-4, atol=1e-5)
+            )
+        except Exception:  # pragma: no cover - conservative fallback
+            return False
 
     # -- functional core --------------------------------------------------
     def _build_solve_fn(self):
@@ -319,6 +458,75 @@ class SQPOptimizationSolver:
             )
 
         return jax.jit(solve)
+
+    def _build_solve_batch_fn(self):
+        """Batched solve over B scenarios sharing the QP matrices.
+
+        Signature: ``(x (B,nx), p (B,np), lbx (B,nx), ubx, lbg (B,ng),
+        ubg, qp_x (B,qn), qp_y (B,qm)) -> SQPResult`` with leading batch
+        dims on every field.  The SQP scan calls the shared-factorization
+        GEMM ADMM (admm_batched.py) instead of a vmapped per-scenario solve.
+        """
+        from .admm_batched import admm_solve_shared
+
+        opt = self.options
+        n_p = self.n_p
+        aug = opt.formulation == "augmented"
+        alpha = opt.alpha
+        matrices, vectors, stack_bounds = self._parts
+        f_fn = self.f_fn
+        admm_settings = opt.admm
+        dtype = opt.dtype
+        n_x = self.n_x
+
+        vectors_b = jax.vmap(vectors)
+        bounds_b = jax.vmap(stack_bounds)
+        f_b = jax.vmap(f_fn)
+
+        def solve_batch(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
+            x_init = x_init.astype(dtype)
+            p = p.astype(dtype)
+            # (H, A) are iterate-independent: evaluate once at zeros.
+            H, A = matrices(
+                jnp.zeros((n_x,), dtype), jnp.zeros((n_p,), dtype)
+            )
+
+            def sqp_iter(carry, _):
+                x, qpx, qpy = carry
+                grad, cval = vectors_b(x, p)
+                lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
+                low = lower - cval
+                up = upper - cval
+                sol = admm_solve_shared(
+                    H,
+                    A,
+                    grad,
+                    low,
+                    up,
+                    admm_settings,
+                    x0=qpx if opt.qp_warm_start else None,
+                    y0=qpy if opt.qp_warm_start else None,
+                )
+                dx = sol.x[:, n_p:] if aug else sol.x
+                x_new = x + alpha * dx
+                fval = f_b(x_new, p)
+                step_norm = jnp.linalg.norm(alpha * dx, axis=1)
+                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
+
+            (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
+                sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
+            )
+            return SQPResult(
+                x=x,
+                f=f_hist[-1],
+                qp_x=qpx,
+                qp_y=qpy,
+                f_history=f_hist,
+                qp_iters=qp_iters,
+                step_norms=step_norms,
+            )
+
+        return jax.jit(solve_batch)
 
     # -- reference-parity stateful API ------------------------------------
     def get_optimal_solution(self, arg: Dict[str, Any]) -> Dict[str, jnp.ndarray]:

@@ -97,7 +97,9 @@ def test_random_convex_qp_vs_scipy(seed, method):
     P = L @ L.T + 0.1 * np.eye(n)
     q = rng.normal(size=n)
     A = rng.normal(size=(m, n))
-    center = rng.normal(size=m)
+    # Guarantee a feasible region around a random point.
+    x_feas = rng.normal(size=n)
+    center = A @ x_feas
     l = center - rng.uniform(0.1, 2.0, size=m)
     u = center + rng.uniform(0.1, 2.0, size=m)
     x_ref = scipy_qp(P, q, A, l, u)
@@ -116,7 +118,9 @@ def test_badly_scaled_qp():
     x_ref = scipy_qp(P, q, A, l, u)
     sol = run(P, q, A, l, u)
     assert bool(sol.converged)
-    np.testing.assert_allclose(sol.x, x_ref, atol=1e-2)
+    # OSQP termination is *relative* (eps_rel scaled by the 1e4-magnitude
+    # data), so assert relative accuracy.
+    np.testing.assert_allclose(sol.x, x_ref, rtol=5e-2, atol=1e-3)
 
 
 def test_warm_start_reduces_iterations():
