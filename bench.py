@@ -29,6 +29,11 @@ def main():
     from optimal_control_problem_tpu.models import double_integrator as di
     from optimal_control_problem_tpu.parallel import BatchedSolver
     from optimal_control_problem_tpu.solvers.admm import ADMMSettings
+    from optimal_control_problem_tpu.utils.serialization import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     H, dt = 20, 0.005
     cfg = di.make_config(
@@ -43,7 +48,7 @@ def main():
             "eps_abs": 1e-3,
             "eps_rel": 1e-3,
             "max_iter": 1000,
-            "adaptive_rho": False,
+            "adaptive_rho": True,
         },
     )
     ocp = di.build(cfg)

@@ -72,6 +72,11 @@ class ADMMSettings:
     adaptive_rho_interval: int = 100
     adaptive_rho_tolerance: float = 5.0
     method: str = "kkt"  # "kkt" (robust, quasi-definite) | "condensed" (fast)
+    # Iteration-loop backend: "xla" (lax.while_loop) or "pallas" (the fused
+    # in-VMEM device loop, ops/admm_kernel.py; condensed method only, no
+    # adaptive rho).  "pallas" keeps the per-scenario operator resident in
+    # VMEM across all iterations — the win for vmapped nonlinear models.
+    backend: str = "xla"
 
     def replace(self, **kw) -> "ADMMSettings":
         return dataclasses.replace(self, **kw)
@@ -206,6 +211,42 @@ def admm_solve(
     x = jnp.zeros((n,), dtype) if x0 is None else (x0.astype(dtype) / D)
     y = jnp.zeros((m,), dtype) if y0 is None else (c * y0.astype(dtype) / E)
     z = jnp.clip(Ab @ x, lb, ub)
+
+    if st.backend == "pallas":
+        if st.method != "condensed":
+            raise ValueError("backend='pallas' requires method='condensed'")
+        from ..ops.admm_kernel import admm_device_loop
+
+        xs, ys, zs, it = admm_device_loop(
+            OP,
+            Ab,
+            Pb,
+            qb,
+            lb,
+            ub,
+            rho_v,
+            1.0 / D,
+            1.0 / E,
+            1.0 / c,
+            st.sigma,
+            st.alpha,
+            st.eps_abs,
+            st.eps_rel,
+            x,
+            y,
+            max_iter=st.max_iter,
+            check_every=st.check_every,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return QPSolution(
+            x=D * xs,
+            y=E * ys / c,
+            z=zs / E,
+            iters=it,
+            converged=it < st.max_iter,
+            r_prim=jnp.asarray(jnp.nan, dtype),
+            r_dual=jnp.asarray(jnp.nan, dtype),
+        )
 
     def one_iter(carry, _):
         x, z, y, rho_v, OP = carry

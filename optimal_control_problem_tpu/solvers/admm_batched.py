@@ -9,8 +9,9 @@ and the bounds ``l, u`` differ across scenarios and SQP iterations.
 Where the reference solves each scenario's QP separately on the GPU (one OSQP
 instance, re-setup per SQP iteration — ``SQPOptimizationSolver.cpp:155-157``),
 here ONE factorization (dense inverse of the condensed or quasi-definite KKT
-operator) is shared by the entire scenario batch, and every ADMM iteration
-is two/three real matmuls over the batch::
+operator) is shared by the entire scenario batch *and* across all SQP
+iterations, and every ADMM iteration is two/three real matmuls over the
+batch::
 
     rhs (B,n)  = sigma*x - q + (rho*z - y) @ A          # (B,m)@(m,n) MXU
     xt  (B,n)  = rhs @ OP                               # (B,n)@(n,n) MXU
@@ -20,10 +21,23 @@ plus elementwise projection/dual updates (VPU, fused by XLA).  This is the
 TPU-first answer to the CUDA backend: no sparse LDL, no per-problem solver
 state — just large batched GEMMs.
 
+The API is split prepare/iterate:
+
+* :func:`prepare_shared` — Ruiz equilibration, per-row rho from the
+  structural bound types, and the operator factorization.  Done ONCE per
+  solve call (the bound *types* — equality/loose/inequality — are fixed by
+  the problem structure, so rho is valid for every SQP iteration).
+* :func:`admm_iterate_prepared` — the pure iteration loop; this is the only
+  thing inside the SQP ``scan``, keeping both the compiled graph small and
+  the runtime free of redundant re-factorizations.
+
 Semantics match :mod:`.admm` (OSQP v1.0.0-beta1 as configured by the
 reference): Ruiz equilibration, per-row rho with equality scaling, relaxation
 alpha, sigma regularization, relative+absolute termination at eps 1e-3
-(``SQPOptimizationSolver.cpp:80-85``), float32.
+(``SQPOptimizationSolver.cpp:80-85``), adaptive rho (batch-shared, with a
+shared re-factorization when triggered — in float32 this is what rescues
+problems whose fixed rho stalls the dual residual at the precision floor),
+float32.
 """
 
 from __future__ import annotations
@@ -44,7 +58,13 @@ from .admm import (
     ruiz_equilibrate,
 )
 
-__all__ = ["BatchQPSolution", "admm_solve_shared"]
+__all__ = [
+    "BatchQPSolution",
+    "SharedQPFactor",
+    "prepare_shared",
+    "admm_iterate_prepared",
+    "admm_solve_shared",
+]
 
 
 class BatchQPSolution(NamedTuple):
@@ -55,6 +75,18 @@ class BatchQPSolution(NamedTuple):
     converged: jnp.ndarray  # (B,) bool
     r_prim: jnp.ndarray  # (B,)
     r_dual: jnp.ndarray  # (B,)
+
+
+class SharedQPFactor(NamedTuple):
+    """Precomputed shared-QP operator (valid while P, A, bound types fixed)."""
+
+    Pb: jnp.ndarray  # (n, n) scaled Hessian
+    Ab: jnp.ndarray  # (m, n) scaled constraint matrix
+    D: jnp.ndarray  # (n,) variable scaling
+    E: jnp.ndarray  # (m,) constraint scaling
+    c: jnp.ndarray  # scalar cost scaling
+    rho_v: jnp.ndarray  # (m,) per-row rho
+    OP: jnp.ndarray  # (n,n) condensed inverse or (n+m,n+m) KKT inverse
 
 
 def _shared_rho_vec(l, u, rho, dtype):
@@ -88,77 +120,96 @@ def _factor_shared(Pb, Ab, rho_v, sigma, method: str):
     return jnp.linalg.inv(K)
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def admm_solve_shared(
-    P: jnp.ndarray,  # (n, n) shared
-    A: jnp.ndarray,  # (m, n) shared
-    q: jnp.ndarray,  # (B, n) per scenario
-    l: jnp.ndarray,  # (B, m)
+def prepare_shared(
+    P: jnp.ndarray,  # (n, n) shared Hessian
+    A: jnp.ndarray,  # (m, n) shared constraint matrix
+    l: jnp.ndarray,  # (B, m) bounds (used for structural row types only)
     u: jnp.ndarray,  # (B, m)
-    settings: ADMMSettings = ADMMSettings(),
-    x0: Optional[jnp.ndarray] = None,  # (B, n)
-    y0: Optional[jnp.ndarray] = None,  # (B, m)
-) -> BatchQPSolution:
-    """Solve B QPs sharing (P, A).  Runs until every scenario meets the OSQP
-    termination criteria or ``max_iter``."""
+    q_typical: Optional[jnp.ndarray],  # (B, n) representative linear terms
+    settings: ADMMSettings,
+) -> SharedQPFactor:
+    """Equilibrate, choose per-row rho, and factorize — once per solve."""
     dtype = P.dtype
-    B, n = q.shape
-    m = A.shape[0]
+    n = P.shape[0]
     st = settings
-    sigma = jnp.asarray(st.sigma, dtype)
-    alpha = jnp.asarray(st.alpha, dtype)
-    l = jnp.minimum(l.astype(dtype), u.astype(dtype))
-    u = u.astype(dtype)
-    q = q.astype(dtype)
-
-    # Ruiz equilibration on the shared matrices; cost scaling from the batch
-    # mean so the factorization stays shared (OSQP computes c per problem —
-    # here all problems share P, and c only modulates convergence rate).
     Pb0, _, Ab, D, E, c0 = ruiz_equilibrate(
         P, jnp.zeros((n,), dtype), A, st.scaling_iters
     )
-    qD = q * D[None, :]
-    qnorm = jnp.mean(jnp.max(jnp.abs(qD), axis=1))
+    # Cost scaling from the batch-mean gradient magnitude (OSQP computes c
+    # per problem from q; sharing keeps the factorization batch-wide).
     mean_pcol = jnp.mean(jnp.max(jnp.abs(Pb0 / jnp.maximum(c0, 1e-30)), axis=0))
-    # Recompute c like OSQP's cost scaling but batch-shared:
+    if q_typical is not None:
+        qnorm = jnp.mean(jnp.max(jnp.abs(q_typical * D[None, :]), axis=1))
+    else:
+        qnorm = jnp.asarray(0.0, dtype)
     c = 1.0 / _limit_scaling(jnp.maximum(mean_pcol, qnorm))
     Pb = c * (D[:, None] * P * D[None, :])
-    qb = c * qD
+    rho_v = _shared_rho_vec(
+        l * E[None, :], u * E[None, :], jnp.asarray(st.rho, dtype), dtype
+    )
+    OP = _factor_shared(Pb, Ab, rho_v, jnp.asarray(st.sigma, dtype), st.method)
+    return SharedQPFactor(Pb=Pb, Ab=Ab, D=D, E=E, c=c, rho_v=rho_v, OP=OP)
+
+
+def admm_iterate_prepared(
+    fac: SharedQPFactor,
+    q: jnp.ndarray,  # (B, n)
+    l: jnp.ndarray,  # (B, m)
+    u: jnp.ndarray,  # (B, m)
+    settings: ADMMSettings,
+    x0: Optional[jnp.ndarray] = None,  # (B, n) warm start
+    y0: Optional[jnp.ndarray] = None,  # (B, m)
+) -> BatchQPSolution:
+    """Run the ADMM loop against a prepared factorization.
+
+    Pure matmuls + elementwise ops (plus an occasional shared
+    re-factorization when adaptive rho triggers); cheap to embed inside the
+    SQP ``scan``.  Runs until every scenario meets the OSQP termination
+    criteria or ``max_iter``.
+    """
+    dtype = fac.Pb.dtype
+    st = settings
+    B, n = q.shape
+    m = fac.Ab.shape[0]
+    sigma = jnp.asarray(st.sigma, dtype)
+    alpha = jnp.asarray(st.alpha, dtype)
+    Pb, Ab, D, E, c, rho_v0, OP0 = fac
+
+    l = jnp.minimum(l.astype(dtype), u.astype(dtype))
+    u = u.astype(dtype)
+    qb = c * q.astype(dtype) * D[None, :]
     lb = l * E[None, :]
     ub = u * E[None, :]
-
-    rho_v = _shared_rho_vec(lb, ub, jnp.asarray(st.rho, dtype), dtype)
-    OP = _factor_shared(Pb, Ab, rho_v, sigma, st.method)
 
     x = jnp.zeros((B, n), dtype) if x0 is None else x0.astype(dtype) / D[None, :]
     y = jnp.zeros((B, m), dtype) if y0 is None else c * y0.astype(dtype) / E[None, :]
     z = jnp.clip(x @ Ab.T, lb, ub)
 
     def one_iter(carry, _):
-        x, z, y, rho_v, OP = carry
+        x, z, y, rho, OP = carry
         if st.method == "condensed":
-            rhs = sigma * x - qb + (rho_v[None, :] * z - y) @ Ab
+            rhs = sigma * x - qb + (rho[None, :] * z - y) @ Ab
             xt = rhs @ OP
             zt = xt @ Ab.T
         else:
-            rhs = jnp.concatenate([sigma * x - qb, z - y / rho_v[None, :]], axis=1)
+            rhs = jnp.concatenate([sigma * x - qb, z - y / rho[None, :]], axis=1)
             sol = rhs @ OP  # OP symmetric (quasi-definite KKT inverse)
             xt = sol[:, :n]
-            zt = z + (sol[:, n:] - y) / rho_v[None, :]
+            zt = z + (sol[:, n:] - y) / rho[None, :]
         x_new = alpha * xt + (1 - alpha) * x
         z_relaxed = alpha * zt + (1 - alpha) * z
-        z_new = jnp.clip(z_relaxed + y / rho_v[None, :], lb, ub)
-        y_new = y + rho_v[None, :] * (z_relaxed - z_new)
-        return (x_new, z_new, y_new, rho_v, OP), None
+        z_new = jnp.clip(z_relaxed + y / rho[None, :], lb, ub)
+        y_new = y + rho[None, :] * (z_relaxed - z_new)
+        return (x_new, z_new, y_new, rho, OP), None
 
     Einv = 1.0 / E
     Dinv = 1.0 / D
+    cinv = 1.0 / c
 
     def residuals(x, z, y):
         Ax = x @ Ab.T
         Px = x @ Pb  # Pb symmetric
         Aty = y @ Ab
-        cinv = 1.0 / c
         r_prim = jnp.max(jnp.abs((Ax - z) * Einv[None, :]), axis=1)
         r_dual = cinv * jnp.max(
             jnp.abs((Px + qb + Aty) * Dinv[None, :]), axis=1
@@ -176,28 +227,34 @@ def admm_solve_shared(
         )
         eps_pri = st.eps_abs + st.eps_rel * max_prim
         eps_dua = st.eps_abs + st.eps_rel * max_dual
-        return r_prim, r_dual, eps_pri, eps_dua, max_prim, max_dual
+        rp_rel = r_prim / jnp.maximum(max_prim, 1e-12)
+        rd_rel = r_dual / jnp.maximum(max_dual, 1e-12)
+        return r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel
 
     def cond_fn(state):
-        it, x, z, y, rho_v, OP, all_done, conv, rp, rd = state
+        it, x, z, y, rho, OP, all_done, conv, rp, rd = state
         return jnp.logical_and(it < st.max_iter, jnp.logical_not(all_done))
 
     def body_fn(state):
-        it, x, z, y, rho_v, OP, all_done, conv, _, _ = state
-        (x, z, y, rho_v, OP), _ = jax.lax.scan(
-            one_iter, (x, z, y, rho_v, OP), None, length=st.check_every
+        it, x, z, y, rho, OP, all_done, conv, _, _ = state
+        (x, z, y, rho, OP), _ = jax.lax.scan(
+            one_iter, (x, z, y, rho, OP), None, length=st.check_every
         )
         it = it + st.check_every
-        r_prim, r_dual, eps_pri, eps_dua, max_prim, max_dual = residuals(x, z, y)
+        r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel = residuals(x, z, y)
         conv = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
         all_done = jnp.all(conv)
 
         if st.adaptive_rho and m:
+            # OSQP rho adaptation, batch-shared: rho *= sqrt(rel primal res
+            # / rel dual res), with a shared re-factorization when
+            # triggered.  In float32 this is what rescues problems whose
+            # fixed rho stalls the dual residual at the precision floor.
             def maybe_adapt(args):
-                rho_v, OP = args
-                num = jnp.mean(r_prim / jnp.maximum(max_prim, 1e-10))
-                den = jnp.mean(r_dual / jnp.maximum(max_dual, 1e-10))
-                scale = jnp.sqrt(num / jnp.maximum(den, 1e-10))
+                rho, OP = args
+                scale = jnp.sqrt(
+                    jnp.mean(rp_rel) / jnp.maximum(jnp.mean(rd_rel), 1e-12)
+                )
                 scale = jnp.clip(scale, 1e-3, 1e3)
                 trigger = jnp.logical_or(
                     scale > st.adaptive_rho_tolerance,
@@ -205,7 +262,7 @@ def admm_solve_shared(
                 )
 
                 def adapt(_):
-                    new_rho = jnp.clip(rho_v * scale, _RHO_MIN, _RHO_MAX)
+                    new_rho = jnp.clip(rho * scale, _RHO_MIN, _RHO_MAX)
                     return new_rho, _factor_shared(
                         Pb, Ab, new_rho, sigma, st.method
                     )
@@ -213,32 +270,32 @@ def admm_solve_shared(
                 return jax.lax.cond(
                     jnp.logical_and(trigger, jnp.logical_not(all_done)),
                     adapt,
-                    lambda _: (rho_v, OP),
+                    lambda _: (rho, OP),
                     None,
                 )
 
             do_adapt = (it % st.adaptive_rho_interval) < st.check_every
-            rho_v, OP = jax.lax.cond(
-                do_adapt, maybe_adapt, lambda a: a, (rho_v, OP)
+            rho, OP = jax.lax.cond(
+                do_adapt, maybe_adapt, lambda a: a, (rho, OP)
             )
-        return (it, x, z, y, rho_v, OP, all_done, conv, r_prim, r_dual)
 
-    it0 = jnp.asarray(0, jnp.int32)
+        return (it, x, z, y, rho, OP, all_done, conv, r_prim, r_dual)
+
     inf_b = jnp.full((B,), jnp.inf, dtype)
     state = (
-        it0,
+        jnp.asarray(0, jnp.int32),
         x,
         z,
         y,
-        rho_v,
-        OP,
+        rho_v0,
+        OP0,
         jnp.asarray(False),
         jnp.zeros((B,), bool),
         inf_b,
         inf_b,
     )
-    it, x, z, y, rho_v, OP, all_done, conv, r_prim, r_dual = jax.lax.while_loop(
-        cond_fn, body_fn, state
+    it, x, z, y, rho_f, OP_f, all_done, conv, r_prim, r_dual = (
+        jax.lax.while_loop(cond_fn, body_fn, state)
     )
 
     return BatchQPSolution(
@@ -250,3 +307,19 @@ def admm_solve_shared(
         r_prim=r_prim,
         r_dual=r_dual,
     )
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def admm_solve_shared(
+    P: jnp.ndarray,  # (n, n) shared
+    A: jnp.ndarray,  # (m, n) shared
+    q: jnp.ndarray,  # (B, n) per scenario
+    l: jnp.ndarray,  # (B, m)
+    u: jnp.ndarray,  # (B, m)
+    settings: ADMMSettings = ADMMSettings(),
+    x0: Optional[jnp.ndarray] = None,  # (B, n)
+    y0: Optional[jnp.ndarray] = None,  # (B, m)
+) -> BatchQPSolution:
+    """One-shot convenience wrapper: prepare + iterate."""
+    fac = prepare_shared(P, A, l, u, q, settings)
+    return admm_iterate_prepared(fac, q, l, u, settings, x0=x0, y0=y0)

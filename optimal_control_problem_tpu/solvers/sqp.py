@@ -198,10 +198,14 @@ def build_local_system_parts(
 ):
     """Composable pieces of the local-QP assembly.
 
-    Returns ``(matrices, vectors, stack_bounds)``:
+    Returns ``(matrices, matrices_raw, vectors, stack_bounds)``:
 
-    * ``matrices(x, p) -> (H, A)`` — objective Hessian and the linearized
-      constraint-stack Jacobian;
+    * ``matrices(x, p) -> (H, A)`` — regularized objective Hessian and the
+      linearized constraint-stack Jacobian;
+    * ``matrices_raw(x, p) -> (H, A)`` — same without Hessian
+      regularization (no eigendecomposition in the traced graph; used for
+      shared-system detection/extraction, where the shift is applied on the
+      host instead);
     * ``vectors(x, p) -> (grad, cval)`` — objective gradient and the value of
       the constraint stack ``c`` at the point;
     * ``stack_bounds(x, p, lbx, ubx, lbg, ubg) -> (lower, upper)`` — the raw
@@ -241,15 +245,19 @@ def build_local_system_parts(
                 return z
             return jnp.concatenate([z, g_fn(z[n_p:], z[:n_p])])
 
-        def matrices(x, p):
+        def matrices_raw(x, p):
             z = jnp.concatenate([p, x]).astype(dtype)
-            H = _regularize(jax.hessian(f_z)(z))
+            H = jax.hessian(f_z)(z)
             A = (
                 jax.jacfwd(c_z)(z)
                 if g_fn is not None
                 else jnp.eye(nz, dtype=dtype)
             )
             return H, A
+
+        def matrices(x, p):
+            H, A = matrices_raw(x, p)
+            return _regularize(H), A
 
         def vectors(x, p):
             z = jnp.concatenate([p, x]).astype(dtype)
@@ -262,15 +270,19 @@ def build_local_system_parts(
 
     else:
 
-        def matrices(x, p):
+        def matrices_raw(x, p):
             x = x.astype(dtype)
-            H = _regularize(jax.hessian(lambda xx: f_fn(xx, p))(x))
+            H = jax.hessian(lambda xx: f_fn(xx, p))(x)
             if g_fn is not None:
                 J = jax.jacfwd(lambda xx: g_fn(xx, p))(x)
                 A = jnp.concatenate([jnp.eye(n_x, dtype=dtype), J], axis=0)
             else:
                 A = jnp.eye(n_x, dtype=dtype)
             return H, A
+
+        def matrices(x, p):
+            H, A = matrices_raw(x, p)
+            return _regularize(H), A
 
         def vectors(x, p):
             x = x.astype(dtype)
@@ -286,7 +298,7 @@ def build_local_system_parts(
             upper = jnp.concatenate([ubx, ubg]).astype(dtype)
             return lower, upper
 
-    return matrices, vectors, stack_bounds
+    return matrices, matrices_raw, vectors, stack_bounds
 
 
 def build_local_system_fn(
@@ -307,7 +319,7 @@ def build_local_system_fn(
     All derivatives come from JAX tracing (replacing ``AutoDifferentiator``'s
     CasADi hessian/gradient/jacobian, ``AutoDifferentiator.cpp:16-28``).
     """
-    matrices, vectors, stack_bounds = build_local_system_parts(
+    matrices, _matrices_raw, vectors, stack_bounds = build_local_system_parts(
         f_fn, g_fn, n_x, n_p, n_g, formulation, dtype, hessian_reg
     )
 
@@ -351,7 +363,7 @@ class SQPOptimizationSolver:
             self.dtype,
             options.hessian_reg,
         )
-        matrices, vectors, stack_bounds = self._parts
+        matrices, matrices_raw, vectors, stack_bounds = self._parts
 
         def local_system(x, p, lbx, ubx, lbg, ubg):
             H, A = matrices(x, p)
@@ -390,9 +402,9 @@ class SQPOptimizationSolver:
         Probing evaluates the traced matrices at two random points — exact
         for the polynomial expressions produced by tracing.
         """
-        matrices = self._parts[0]
+        matrices_raw = self._parts[1]
         rng = np.random.default_rng(12345)
-        fn = jax.jit(matrices)
+        fn = jax.jit(matrices_raw)
         try:
             outs = []
             for _ in range(2):
@@ -467,17 +479,36 @@ class SQPOptimizationSolver:
         dims on every field.  The SQP scan calls the shared-factorization
         GEMM ADMM (admm_batched.py) instead of a vmapped per-scenario solve.
         """
-        from .admm_batched import admm_solve_shared
+        from .admm_batched import admm_iterate_prepared, prepare_shared
 
         opt = self.options
         n_p = self.n_p
         aug = opt.formulation == "augmented"
         alpha = opt.alpha
-        matrices, vectors, stack_bounds = self._parts
+        _, matrices_raw, vectors, stack_bounds = self._parts
         f_fn = self.f_fn
         admm_settings = opt.admm
         dtype = opt.dtype
         n_x = self.n_x
+
+        # (H, A) are iterate-independent: extract them ONCE at construction
+        # and apply the Hessian convexification shift on the host — keeping
+        # eigendecompositions (and any per-iteration factorization) entirely
+        # out of the compiled solve graph.
+        H_raw, A_raw = jax.jit(matrices_raw)(
+            jnp.zeros((n_x,), dtype), jnp.zeros((self.n_p,), dtype)
+        )
+        H_np = np.asarray(H_raw, np.float64)
+        A_np = np.asarray(A_raw, np.float64)
+        if opt.hessian_reg == "auto":
+            w_min = float(np.linalg.eigvalsh(0.5 * (H_np + H_np.T))[0])
+            shift = max(0.0, 1e-6 - w_min)
+        else:
+            shift = float(opt.hessian_reg)
+        if shift > 0.0:
+            H_np = H_np + shift * np.eye(H_np.shape[0])
+        H_const = jnp.asarray(H_np, dtype)
+        A_const = jnp.asarray(A_np, dtype)
 
         vectors_b = jax.vmap(vectors)
         bounds_b = jax.vmap(stack_bounds)
@@ -486,23 +517,24 @@ class SQPOptimizationSolver:
         def solve_batch(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
             x_init = x_init.astype(dtype)
             p = p.astype(dtype)
-            # (H, A) are iterate-independent: evaluate once at zeros.
-            H, A = matrices(
-                jnp.zeros((n_x,), dtype), jnp.zeros((n_p,), dtype)
+            # The raw bound stack is iterate-independent; only the shift by
+            # c(z_k) changes per SQP iteration.  Bound TYPES (equality /
+            # loose rows) are shift-invariant, so one factorization serves
+            # every iteration.
+            lower0, upper0 = bounds_b(p, lbx, ubx, lbg, ubg)
+            grad0, _ = vectors_b(x_init, p)
+            fac = prepare_shared(
+                H_const, A_const, lower0, upper0, grad0, admm_settings
             )
 
             def sqp_iter(carry, _):
                 x, qpx, qpy = carry
                 grad, cval = vectors_b(x, p)
-                lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
-                low = lower - cval
-                up = upper - cval
-                sol = admm_solve_shared(
-                    H,
-                    A,
+                sol = admm_iterate_prepared(
+                    fac,
                     grad,
-                    low,
-                    up,
+                    lower0 - cval,
+                    upper0 - cval,
                     admm_settings,
                     x0=qpx if opt.qp_warm_start else None,
                     y0=qpy if opt.qp_warm_start else None,
