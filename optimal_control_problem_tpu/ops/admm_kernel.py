@@ -76,15 +76,19 @@ def _kernel(
     x = x0_ref[:]
     y = y0_ref[:]
     z = jnp.clip(
-        jnp.dot(x, abt, preferred_element_type=jnp.float32), lb, ub
+        jnp.dot(x, abt, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST), lb, ub
     )
 
     def one_iter(carry):
         x, z, y = carry
         t = rho * z - y
-        rhs = sigma * x - qb + jnp.dot(t, ab, preferred_element_type=jnp.float32)
-        xt = jnp.dot(rhs, op, preferred_element_type=jnp.float32)
-        zt = jnp.dot(xt, abt, preferred_element_type=jnp.float32)
+        rhs = sigma * x - qb + jnp.dot(t, ab, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        xt = jnp.dot(rhs, op, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        zt = jnp.dot(xt, abt, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         x_new = alpha * xt + (1.0 - alpha) * x
         z_rel = alpha * zt + (1.0 - alpha) * z
         z_new = jnp.clip(z_rel + y / rho, lb, ub)
@@ -98,9 +102,12 @@ def _kernel(
         return jax.lax.fori_loop(0, check_every, body, carry)
 
     def residual_ok(x, z, y):
-        ax = jnp.dot(x, abt, preferred_element_type=jnp.float32)
-        px = jnp.dot(x, pb, preferred_element_type=jnp.float32)
-        aty = jnp.dot(y, ab, preferred_element_type=jnp.float32)
+        ax = jnp.dot(x, abt, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        px = jnp.dot(x, pb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        aty = jnp.dot(y, ab, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         r_prim = jnp.max(jnp.abs((ax - z) * einv))
         r_dual = cinv * jnp.max(jnp.abs((px + qb + aty) * dinv))
         max_prim = jnp.maximum(

@@ -44,7 +44,32 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ADMMSettings", "QPSolution", "admm_solve", "ruiz_equilibrate"]
+__all__ = [
+    "ADMMSettings",
+    "QPSolution",
+    "admm_solve",
+    "ruiz_equilibrate",
+    "f32_matmuls",
+]
+
+
+def f32_matmuls(fn):
+    """Trace ``fn`` with HIGHEST matmul precision.
+
+    On TPU the default float32 matmul runs as a single bfloat16 MXU pass;
+    that floors ADMM/KKT residuals far above the 1e-3 termination tolerance
+    (the solve must be genuinely float32, like the reference's OSQP build
+    with ``OSQP_USE_FLOAT=ON``, cuda_install.sh:44).  Applied to every
+    solver-internal function that feeds residuals or factorizations.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 # OSQP constants (osqp v1.0.0-beta1 defaults; the reference overrides only the
 # tolerances/max_iter listed in SQPOptimizationSolver.cpp:80-85).
@@ -173,6 +198,7 @@ def _factor(Pb, Ab, rho_v, sigma, method: str):
 
 
 @partial(jax.jit, static_argnames=("settings",))
+@f32_matmuls
 def admm_solve(
     P: jnp.ndarray,
     q: jnp.ndarray,

@@ -55,6 +55,7 @@ from .admm import (
     _RHO_MIN,
     _RHO_TOL,
     _limit_scaling,
+    f32_matmuls,
     ruiz_equilibrate,
 )
 
@@ -120,6 +121,7 @@ def _factor_shared(Pb, Ab, rho_v, sigma, method: str):
     return jnp.linalg.inv(K)
 
 
+@f32_matmuls
 def prepare_shared(
     P: jnp.ndarray,  # (n, n) shared Hessian
     A: jnp.ndarray,  # (m, n) shared constraint matrix
@@ -128,7 +130,13 @@ def prepare_shared(
     q_typical: Optional[jnp.ndarray],  # (B, n) representative linear terms
     settings: ADMMSettings,
 ) -> SharedQPFactor:
-    """Equilibrate, choose per-row rho, and factorize — once per solve."""
+    """Equilibrate, choose per-row rho, and factorize — once per solve.
+
+    Matmuls run at HIGHEST precision: the TPU default (one bfloat16 MXU
+    pass) floors ADMM residuals above the 1e-3 termination tolerance — the
+    solve must be genuinely float32 like the reference's OSQP build
+    (``OSQP_USE_FLOAT=ON``, cuda_install.sh:44).
+    """
     dtype = P.dtype
     n = P.shape[0]
     st = settings
@@ -151,6 +159,7 @@ def prepare_shared(
     return SharedQPFactor(Pb=Pb, Ab=Ab, D=D, E=E, c=c, rho_v=rho_v, OP=OP)
 
 
+@f32_matmuls
 def admm_iterate_prepared(
     fac: SharedQPFactor,
     q: jnp.ndarray,  # (B, n)

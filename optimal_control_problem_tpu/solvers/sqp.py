@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sym import Sym, compile_fn
-from .admm import ADMMSettings, admm_solve
+from .admm import ADMMSettings, admm_solve, f32_matmuls
 
 __all__ = ["SQPOptions", "SQPResult", "SQPOptimizationSolver", "normalize_nlp"]
 
@@ -433,6 +433,7 @@ class SQPOptimizationSolver:
         f_fn = self.f_fn
         admm_settings = opt.admm
 
+        @f32_matmuls
         def solve(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
             x_init = x_init.astype(opt.dtype)
             p = p.astype(opt.dtype)
@@ -514,6 +515,7 @@ class SQPOptimizationSolver:
         bounds_b = jax.vmap(stack_bounds)
         f_b = jax.vmap(f_fn)
 
+        @f32_matmuls
         def solve_batch(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
             x_init = x_init.astype(dtype)
             p = p.astype(dtype)
