@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Secondary benchmarks: the full BASELINE.json config set.
+
+Unlike ``bench.py`` (the driver's single-line headline metric), this prints
+one JSON line per model config so per-model throughput/latency can be
+tracked:
+
+* double-integrator h=20 (LTI shared-factorization path)
+* cart-pole swing-up h=20 (nonlinear, per-scenario QPs)
+* unicycle + obstacle half-spaces h=50 (nonlinear)
+* quadrotor-12D h=100 (nonlinear, long horizon)
+
+Env: OCP_BENCH_MODELS (comma list), OCP_BENCH_NL_BATCH, OCP_BENCH_TICKS.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def bench_model(name, build_fn, frames, refs, batch, ticks, warmup=2):
+    import jax
+
+    from optimal_control_problem_tpu.parallel import BatchedSolver
+
+    ocp = build_fn()
+    batched = BatchedSolver(ocp)
+    state = batched.init_state(batch)
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        trajs, objs, state = batched.solve(frames, refs, state)
+    jax.block_until_ready(trajs)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+        trajs, objs, state = batched.solve(frames, refs, state)
+    jax.block_until_ready(trajs)
+    per_tick = (time.perf_counter() - t0) / ticks
+    finite = bool(np.isfinite(np.asarray(trajs)).all())
+    print(
+        json.dumps(
+            {
+                "model": name,
+                "batch": batch,
+                "tick_ms": round(per_tick * 1e3, 3),
+                "solves_per_s": round(batch / per_tick, 1),
+                "shared_system": bool(ocp.solver.shared_system),
+                "finite": finite,
+                "compile_s": round(compile_s, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    from optimal_control_problem_tpu.models import (
+        cartpole,
+        double_integrator as di,
+        quadrotor,
+        unicycle,
+    )
+    from optimal_control_problem_tpu.utils.serialization import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    which = os.environ.get(
+        "OCP_BENCH_MODELS", "double_integrator,cartpole,unicycle,quadrotor"
+    ).split(",")
+    B_nl = int(os.environ.get("OCP_BENCH_NL_BATCH", 256))
+    ticks = int(os.environ.get("OCP_BENCH_TICKS", 10))
+    rng = np.random.default_rng(0)
+    admm_nl = {"method": "condensed", "max_iter": 500, "adaptive_rho": True}
+
+    if "double_integrator" in which:
+        B = int(os.environ.get("OCP_BENCH_BATCH", 4096))
+        frames = np.zeros((B, di.FRAME), np.float32)
+        frames[:, 0:2] = rng.uniform(-1, 1, (B, 2)).astype(np.float32)
+        refs = np.tile(di.reference_circle(20, 0.005)[None, :], (B, 1)).astype(
+            np.float32
+        )
+        bench_model(
+            "double_integrator_h20",
+            lambda: di.build(
+                di.make_config(
+                    horizon=20,
+                    dt=0.005,
+                    alpha=0.1,
+                    step_num=10,
+                    formulation="reduced",
+                    ADMM_settings={
+                        "method": "condensed",
+                        "max_iter": 1000,
+                        "adaptive_rho": True,
+                    },
+                )
+            ),
+            frames,
+            refs,
+            B,
+            ticks,
+        )
+
+    if "cartpole" in which:
+        frames = np.zeros((B_nl, cartpole.FRAME), np.float32)
+        frames[:, 2] = rng.uniform(-0.5, 0.5, B_nl).astype(np.float32)
+        refs = np.full((B_nl, 1), np.pi, np.float32)
+        bench_model(
+            "cartpole_h20",
+            lambda: cartpole.build(
+                cartpole.make_config(
+                    horizon=20,
+                    dt=0.02,
+                    alpha=0.3,
+                    step_num=10,
+                    formulation="reduced",
+                    ADMM_settings=admm_nl,
+                )
+            ),
+            frames,
+            refs,
+            B_nl,
+            ticks,
+        )
+
+    if "unicycle" in which:
+        frames = np.zeros((B_nl, unicycle.FRAME), np.float32)
+        frames[:, 2] = rng.uniform(-0.5, 0.5, B_nl).astype(np.float32)
+        refs = np.tile(
+            unicycle.reference_line(50, 0.05)[None, :], (B_nl, 1)
+        ).astype(np.float32)
+        bench_model(
+            "unicycle_h50",
+            lambda: unicycle.build(
+                unicycle.make_config(
+                    horizon=50,
+                    dt=0.05,
+                    alpha=0.3,
+                    step_num=10,
+                    formulation="reduced",
+                    ADMM_settings=admm_nl,
+                ),
+                halfspaces=(((0.0, 1.0), -0.5),),
+            ),
+            frames,
+            refs,
+            B_nl,
+            ticks,
+        )
+
+    if "quadrotor" in which:
+        B_q = min(B_nl, 64)  # n=1600: per-scenario operators are large
+        frames = np.tile(quadrotor.initial_state()[None, :], (B_q, 1)).astype(
+            np.float32
+        )
+        frames[:, 0:2] += rng.uniform(-0.5, 0.5, (B_q, 2)).astype(np.float32)
+        refs = np.tile(
+            quadrotor.reference_hover(100)[None, :], (B_q, 1)
+        ).astype(np.float32)
+        bench_model(
+            "quadrotor_h100",
+            lambda: quadrotor.build(
+                quadrotor.make_config(
+                    horizon=100,
+                    dt=0.02,
+                    alpha=0.3,
+                    step_num=5,
+                    formulation="reduced",
+                    ADMM_settings={**admm_nl, "max_iter": 250},
+                )
+            ),
+            frames,
+            refs,
+            B_q,
+            ticks,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,7 @@ def _kernel(
     xo_ref,  # (1, n)
     yo_ref,  # (1, m)
     zo_ref,  # (1, m)
-    it_ref,  # (1, 1) int32 iterations
+    it_ref,  # (1, 128) int32; [0, 0] holds the iteration count
     *,
     max_iter: int,
     check_every: int,
@@ -137,7 +137,9 @@ def _kernel(
     xo_ref[:] = x
     yo_ref[:] = y
     zo_ref[:] = z
-    it_ref[0, 0] = it
+    # Iteration count as a lane-aligned VMEM row (scalar stores target SMEM,
+    # but SMEM outputs do not batch under vmap's added grid dimension).
+    it_ref[:] = jnp.full((1, 128), it, jnp.int32)
 
 
 @partial(
@@ -193,7 +195,7 @@ def admm_device_loop(
             jax.ShapeDtypeStruct((1, n), dtype),
             jax.ShapeDtypeStruct((1, m), dtype),
             jax.ShapeDtypeStruct((1, m), dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
         ),
         in_specs=[vspec() for _ in range(14)],
         out_specs=(vspec(), vspec(), vspec(), vspec()),
@@ -214,4 +216,4 @@ def admm_device_loop(
         x0.reshape(1, n),
         y0.reshape(1, m),
     )
-    return x.reshape(n), y.reshape(m), z.reshape(m), it.reshape(())
+    return x.reshape(n), y.reshape(m), z.reshape(m), it[0, 0]

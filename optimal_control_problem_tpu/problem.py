@@ -116,6 +116,8 @@ class SolverSettings:
             max_iter=int(admm_node.get("max_iter", 10000)),
             adaptive_rho=bool(admm_node.get("adaptive_rho", True)),
             method=str(admm_node.get("method", "kkt")),
+            backend=str(admm_node.get("backend", "xla")),
+            polish=bool(admm_node.get("polish", False)),
         )
 
     @classmethod

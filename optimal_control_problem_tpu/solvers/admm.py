@@ -102,6 +102,13 @@ class ADMMSettings:
     # adaptive rho).  "pallas" keeps the per-scenario operator resident in
     # VMEM across all iterations — the win for vmapped nonlinear models.
     backend: str = "xla"
+    # OSQP-style solution polishing: after convergence, re-solve the
+    # equality-constrained KKT system on the detected active set (masked
+    # formulation, delta-regularized, one iterative-refinement step) and
+    # accept the polished point if it improves both residuals.  Lifts
+    # accuracy from the 1e-3 ADMM tolerance to near float32 precision.
+    polish: bool = False
+    polish_delta: float = 1e-6
 
     def replace(self, **kw) -> "ADMMSettings":
         return dataclasses.replace(self, **kw)
@@ -365,6 +372,11 @@ def admm_solve(
         cond_fn, body_fn, state
     )
 
+    if st.polish and m:
+        x, y, z, r_prim, r_dual = _polish(
+            Pb, qb, Ab, lb, ub, x, y, z, r_prim, r_dual, residuals, st, dtype
+        )
+
     # Unscale: x = D xbar, y = E ybar / c, z = zbar / E.
     return QPSolution(
         x=D * x,
@@ -374,4 +386,57 @@ def admm_solve(
         converged=done,
         r_prim=r_prim,
         r_dual=r_dual,
+    )
+
+
+def _polish(Pb, qb, Ab, lb, ub, x, y, z, r_prim, r_dual, residuals, st, dtype):
+    """OSQP solution polishing (masked active-set KKT re-solve).
+
+    Active rows are those where the ADMM iterate sits on a bound with the
+    matching dual sign (OSQP ``polish.c`` semantics).  The KKT system is
+    formed with a row mask S so the shape stays static under jit::
+
+        [[P + dI,  (S A)^T], [S A,  S - I - dI]] [x; nu] = [-q; S b]
+
+    giving ``A_i x = b_i`` on active rows and ``nu_i = 0`` on inactive ones.
+    One iterative-refinement step against the unregularized system follows;
+    the polished point is accepted only if it improves both residuals.
+    """
+    n = Pb.shape[0]
+    m = Ab.shape[0]
+    delta = jnp.asarray(st.polish_delta, dtype)
+    lower_active = y < 0.0
+    upper_active = y > 0.0
+    active = jnp.logical_or(lower_active, upper_active)
+    b_act = jnp.where(upper_active, ub, jnp.where(lower_active, lb, 0.0))
+    S = active.astype(dtype)
+
+    SA = S[:, None] * Ab
+    K = jnp.zeros((n + m, n + m), dtype)
+    K = K.at[:n, :n].set(Pb + delta * jnp.eye(n, dtype=dtype))
+    K = K.at[:n, n:].set(SA.T)
+    K = K.at[n:, :n].set(SA)
+    K = K.at[n:, n:].set(jnp.diag(S - 1.0 - delta))
+    rhs = jnp.concatenate([-qb, S * b_act])
+    Kinv = jnp.linalg.inv(K)
+    sol = Kinv @ rhs
+    # One iterative-refinement step vs the unregularized KKT operator.
+    K0 = K - delta * jnp.diag(
+        jnp.concatenate([jnp.ones((n,), dtype), jnp.ones((m,), dtype)])
+    )
+    sol = sol + Kinv @ (rhs - K0 @ sol)
+
+    x_p = sol[:n]
+    nu = sol[n:]
+    y_p = jnp.where(active, nu, 0.0)
+    z_p = jnp.clip(Ab @ x_p, lb, ub)
+    rp_p, rd_p, _, _, _, _ = residuals(x_p, z_p, y_p)
+    better = jnp.logical_and(rp_p <= r_prim, rd_p <= r_dual)
+    pick = lambda a, b: jnp.where(better, a, b)
+    return (
+        pick(x_p, x),
+        pick(y_p, y),
+        pick(z_p, z),
+        pick(rp_p, r_prim),
+        pick(rd_p, r_dual),
     )

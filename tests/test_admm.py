@@ -188,3 +188,27 @@ def test_indefinite_P_kkt_method():
     sol = run(P, q, A, l, u, SET.replace(max_iter=2000))
     x = np.asarray(sol.x)
     assert np.all(x >= l - 1e-2) and np.all(x <= u + 1e-2)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_polish_improves_accuracy(seed):
+    """OSQP-style polishing reaches well beyond the 1e-3 ADMM tolerance."""
+    rng = np.random.default_rng(seed)
+    n, m = 8, 12
+    L = rng.normal(size=(n, n))
+    P = L @ L.T + 0.5 * np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    x_feas = rng.normal(size=n)
+    c = A @ x_feas
+    l = c - rng.uniform(0.2, 1.5, size=m)
+    u = c + rng.uniform(0.2, 1.5, size=m)
+    x_ref = scipy_qp(P, q, A, l, u)
+
+    plain = run(P, q, A, l, u, SET.replace(method="kkt"))
+    polished = run(P, q, A, l, u, SET.replace(method="kkt", polish=True))
+    assert bool(polished.converged)
+    err_plain = np.abs(np.asarray(plain.x) - x_ref).max()
+    err_pol = np.abs(np.asarray(polished.x) - x_ref).max()
+    assert err_pol <= max(err_plain, 1e-4)
+    np.testing.assert_allclose(polished.x, x_ref, atol=5e-4)
