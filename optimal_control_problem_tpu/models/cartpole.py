@@ -152,8 +152,79 @@ class CartPoleOCP(OptimalControlProblem):
         )
 
 
-def build(config: Optional[Dict[str, Any]] = None, **kw) -> CartPoleOCP:
+def stage_structure(
+    horizon: int,
+    dt: float,
+    w_th: float = 10.0,
+    w_x: float = 1.0,
+    w_rates: float = 0.1,
+    w_u: float = 1e-3,
+    dth_lim: float = 12.0,
+):
+    """Stage-separable declaration of the same OCP (stagewise.py): per-stage
+    cost/dynamics vmapped over the horizon instead of dense full-vector
+    derivatives.  Semantics identical to deploy_constraints_and_add_cost."""
+    import jax.numpy as jnp
+
+    from ..stagewise import StageStructure
+
+    def stage_cost(frame, ref, k):
+        x, dx, th, dth, F = frame
+        th_target = ref[0]
+        return (
+            w_th
+            * (
+                (jnp.cos(th) - jnp.cos(th_target)) ** 2
+                + (jnp.sin(th) - jnp.sin(th_target)) ** 2
+            )
+            + w_x * x**2
+            + w_rates * (dx**2 + dth**2)
+            + w_u * F**2
+        )
+
+    def dynamics(frame, next_frame):
+        x, dx, th, dth, F = frame
+        ddx, ddth = cartpole_accel(dx, th, dth, F)
+        return jnp.stack(
+            [
+                next_frame[0] - (x + dt * dx),
+                next_frame[1] - (dx + dt * ddx),
+                next_frame[2] - (th + dt * dth),
+                next_frame[3] - (dth + dt * ddth),
+            ]
+        )
+
+    def rate_limit(frame, ref, k):
+        return frame[3:4]
+
+    return StageStructure(
+        horizon=horizon,
+        frame_size=FRAME,
+        stage_cost=stage_cost,
+        dynamics=dynamics,
+        dynamics_size=4,
+        stage_constraints=(rate_limit, [-dth_lim], [dth_lim]),
+        ref_frame_size=0,
+    )
+
+
+def build(
+    config: Optional[Dict[str, Any]] = None, stagewise: bool = False, **kw
+) -> CartPoleOCP:
     ocp = CartPoleOCP(config, **kw)
+    if stagewise:
+        cfg = ocp.ocp_config
+        ocp.set_stage_structure(
+            stage_structure(
+                cfg.get_horizon(),
+                cfg.get_dt(),
+                w_th=ocp.w_th,
+                w_x=ocp.w_x,
+                w_rates=ocp.w_rates,
+                w_u=ocp.w_u,
+                dth_lim=ocp.dth_lim,
+            )
+        )
     ocp.gen_solver()
     return ocp
 

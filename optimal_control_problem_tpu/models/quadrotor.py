@@ -165,8 +165,81 @@ class QuadrotorOCP(OptimalControlProblem):
         self.add_equation_constraint("dynamics", dynamics)
 
 
-def build(config: Optional[Dict[str, Any]] = None, **kw) -> QuadrotorOCP:
+def stage_structure(
+    horizon: int,
+    dt: float,
+    w_pos: float = 10.0,
+    w_vel: float = 0.1,
+    w_att: float = 1.0,
+    w_om: float = 0.05,
+    w_u: float = 1e-3,
+):
+    """Stage-separable declaration (stagewise.py) — per-stage derivatives
+    vmapped over the horizon; essential at horizon 100 where dense
+    full-vector Hessians (n=1600) are prohibitive."""
+    from ..stagewise import StageStructure
+
+    hover = MASS * G
+
+    def stage_cost(frame, ref, k):
+        p = frame[0:3]
+        v = frame[3:6]
+        eul = frame[6:9]
+        om = frame[9:12]
+        u = frame[12:16]
+        du = u - jnp.array([hover, 0.0, 0.0, 0.0])
+        return (
+            w_pos * jnp.sum(jnp.square(p - ref))
+            + w_vel * jnp.sum(jnp.square(v))
+            + w_att * jnp.sum(jnp.square(eul))
+            + w_om * jnp.sum(jnp.square(om))
+            + w_u * jnp.sum(jnp.square(du))
+        )
+
+    def dynamics(frame, next_frame):
+        p = frame[0:3]
+        v = frame[3:6]
+        eul = frame[6:9]
+        om = frame[9:12]
+        u = frame[12:16]
+        dv, deul, dom = quadrotor_derivatives(v, eul, om, u)
+        return jnp.concatenate(
+            [
+                next_frame[0:3] - (p + dt * v),
+                next_frame[3:6] - (v + dt * dv),
+                next_frame[6:9] - (eul + dt * deul),
+                next_frame[9:12] - (om + dt * dom),
+            ]
+        )
+
+    return StageStructure(
+        horizon=horizon,
+        frame_size=FRAME,
+        stage_cost=stage_cost,
+        dynamics=dynamics,
+        dynamics_size=12,
+        ref_frame_size=3,
+    )
+
+
+def build(
+    config: Optional[Dict[str, Any]] = None, stagewise: bool = False, **kw
+) -> QuadrotorOCP:
     ocp = QuadrotorOCP(config, **kw)
+    if stagewise:
+        cfg = ocp.ocp_config
+        w_pos, w_vel, w_att, w_om, w_u = ocp.weights
+        ocp.set_stage_structure(
+            stage_structure(
+                cfg.get_horizon(),
+                cfg.get_dt(),
+                w_pos=w_pos,
+                w_vel=w_vel,
+                w_att=w_att,
+                w_om=w_om,
+                w_u=w_u,
+            )
+        )
     ocp.gen_solver()
     return ocp
 

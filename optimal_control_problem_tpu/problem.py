@@ -168,6 +168,7 @@ class OptimalControlProblem:
         self._constraint_upper: List[np.ndarray] = []
 
         self._reference: Optional[Sym] = None
+        self._stage_structure = None
         self._first_time = True
         self._optimal_trajectory: Optional[jnp.ndarray] = None
         self._last_f: Optional[float] = None
@@ -304,6 +305,8 @@ class OptimalControlProblem:
         return list(self._constraint_names)
 
     def get_constraint_lower_bounds(self) -> np.ndarray:
+        if self._stage_structure is not None and hasattr(self, "_structure_lbg"):
+            return self._structure_lbg
         return (
             np.concatenate(self._constraint_lower)
             if self._constraint_lower
@@ -311,6 +314,8 @@ class OptimalControlProblem:
         )
 
     def get_constraint_upper_bounds(self) -> np.ndarray:
+        if self._stage_structure is not None and hasattr(self, "_structure_ubg"):
+            return self._structure_ubg
         return (
             np.concatenate(self._constraint_upper)
             if self._constraint_upper
@@ -319,6 +324,8 @@ class OptimalControlProblem:
 
     @property
     def num_constraints(self) -> int:
+        if self._stage_structure is not None:
+            return self._stage_structure.n_g
         return sum(self._constraint_sizes)
 
     # ------------------------------------------------------------------
@@ -344,15 +351,49 @@ class OptimalControlProblem:
             g_fn = None
         return f_fn, g_fn
 
+    def set_stage_structure(self, structure) -> None:
+        """Declare the problem's stage-separable structure (stagewise.py).
+
+        When set, ``gen_solver`` derives the NLP functions AND a structured
+        local-system builder from it (per-stage vmapped derivatives instead
+        of dense full-vector Hessians) — the cost/constraint registries are
+        not used.  Requires ``formulation: reduced``.
+        """
+        from .stagewise import StageStructure
+
+        if not isinstance(structure, StageStructure):
+            raise TypeError("expected a StageStructure")
+        cfg = self.ocp_config
+        if structure.horizon != cfg.get_horizon() or (
+            structure.frame_size != cfg.get_frame_size()
+        ):
+            raise ValueError(
+                "stage structure does not match the config's horizon/frame"
+            )
+        self._stage_structure = structure
+
     def gen_solver(self) -> None:
         """Trace the NLP and construct the selected backend
         (``genSolver``, cpp:224-442)."""
         if self.ocp_config.num_variables == 0:
             raise RuntimeError("Status or input variables are empty")
-        if not self._constraints:
-            raise RuntimeError("Constraints are empty")  # cpp:230-233
 
-        f_fn, g_fn = self._build_nlp_fns()
+        parts = None
+        if self._stage_structure is not None:
+            from .stagewise import build_stagewise_fns, build_stagewise_parts
+
+            ss = self._stage_structure
+            f_fn, g_fn, lbg, ubg = build_stagewise_fns(ss)
+            self._structure_lbg = lbg
+            self._structure_ubg = ubg
+            st = self.solver_settings
+            if st.formulation != "reduced":
+                st.formulation = "reduced"
+            parts = build_stagewise_parts(ss, st.dtype, "auto")
+        else:
+            if not self._constraints:
+                raise RuntimeError("Constraints are empty")  # cpp:230-233
+            f_fn, g_fn = self._build_nlp_fns()
         self._nlp_fns = (f_fn, g_fn)
 
         st = self.solver_settings
@@ -373,7 +414,9 @@ class OptimalControlProblem:
                 admm=st.admm,
                 shared_system=st.shared_system,
             )
-            self._solver = SQPOptimizationSolver(nlp, options)
+            self._solver = SQPOptimizationSolver(
+                nlp, options, local_system_parts=parts
+            )
         self._generated = True
 
         if st.verbose:

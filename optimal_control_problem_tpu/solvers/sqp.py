@@ -95,9 +95,9 @@ class SQPOptions:
     # (SQPOptimizationSolver.cpp:58), which for nonlinear costs can be
     # indefinite along unbounded directions -> unbounded QP -> divergence
     # (OSQP would report dual infeasibility; the reference uses the result
-    # regardless).  "auto" shifts by the most negative eigenvalue + 1e-6;
-    # a float adds a fixed multiple of identity; 0.0 reproduces the
-    # reference exactly.
+    # regardless).  "auto" = Gershgorin-bound shift (fast, conservative);
+    # "eigh" = exact minimum-eigenvalue shift; a float adds a fixed
+    # multiple of identity; 0.0 reproduces the reference exactly.
     hessian_reg: Any = "auto"
 
 
@@ -221,12 +221,26 @@ def build_local_system_parts(
     def _regularize(H):
         """Convexify an indefinite objective Hessian (SQPOptions.hessian_reg).
 
-        "auto" shifts the spectrum so the minimum eigenvalue is >= 1e-6 —
-        keeping convex problems bit-identical while preventing unbounded
-        local QPs for nonconvex costs (which the reference's raw Hessian
-        produces, SQPOptimizationSolver.cpp:58)."""
+        Prevents unbounded local QPs for nonconvex costs (which the
+        reference's raw Hessian produces, SQPOptimizationSolver.cpp:58).
+
+        "auto" (default) uses a Gershgorin lower bound on the minimum
+        eigenvalue — O(n^2) elementwise work, no eigendecomposition in the
+        hot path (batched eigh is a multi-ms custom call on TPU and was the
+        dominant cost of nonlinear solves).  Conservative: may shift
+        PSD-but-not-diagonally-dominant Hessians slightly, which only damps
+        the (already damped) SQP step.  "eigh" shifts by the exact minimum
+        eigenvalue; a float adds a fixed multiple of identity; 0.0
+        reproduces the reference exactly."""
         if hessian_reg == "auto":
-            w_min = jnp.linalg.eigvalsh(H)[0]
+            Hs = 0.5 * (H + H.T)
+            diag = jnp.diagonal(Hs)
+            offsum = jnp.sum(jnp.abs(Hs), axis=1) - jnp.abs(diag)
+            bound = jnp.min(diag - offsum)  # Gershgorin: lambda_min >= bound
+            shift = jnp.maximum(jnp.asarray(0.0, H.dtype), 1e-6 - bound)
+            return H + shift * jnp.eye(H.shape[0], dtype=H.dtype)
+        if hessian_reg == "eigh":
+            w_min = jnp.linalg.eigvalsh(0.5 * (H + H.T))[0]
             shift = jnp.maximum(jnp.asarray(0.0, H.dtype), 1e-6 - w_min)
             return H + shift * jnp.eye(H.shape[0], dtype=H.dtype)
         reg = float(hessian_reg)
@@ -339,7 +353,12 @@ class SQPOptimizationSolver:
     composition with ``vmap`` / ``shard_map`` (batched scenario MPC).
     """
 
-    def __init__(self, nlp: Dict[str, Any], options: Optional[Dict | SQPOptions] = None):
+    def __init__(
+        self,
+        nlp: Dict[str, Any],
+        options: Optional[Dict | SQPOptions] = None,
+        local_system_parts=None,
+    ):
         if options is None:
             options = SQPOptions()
         elif isinstance(options, dict):
@@ -353,16 +372,25 @@ class SQPOptimizationSolver:
         self.dtype = options.dtype
         self._verbose = options.verbose
 
-        self._parts = build_local_system_parts(
-            self.f_fn,
-            self.g_fn,
-            self.n_x,
-            self.n_p,
-            self.n_g,
-            options.formulation,
-            self.dtype,
-            options.hessian_reg,
-        )
+        if local_system_parts is not None:
+            # Structured override (e.g. stagewise.py): caller supplies the
+            # (matrices, matrices_raw, vectors, stack_bounds) tuple.
+            if options.formulation != "reduced":
+                raise ValueError(
+                    "custom local_system_parts require formulation='reduced'"
+                )
+            self._parts = local_system_parts
+        else:
+            self._parts = build_local_system_parts(
+                self.f_fn,
+                self.g_fn,
+                self.n_x,
+                self.n_p,
+                self.n_g,
+                options.formulation,
+                self.dtype,
+                options.hessian_reg,
+            )
         matrices, matrices_raw, vectors, stack_bounds = self._parts
 
         def local_system(x, p, lbx, ubx, lbg, ubg):
