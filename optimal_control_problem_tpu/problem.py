@@ -415,7 +415,10 @@ class OptimalControlProblem:
                 shared_system=st.shared_system,
             )
             self._solver = SQPOptimizationSolver(
-                nlp, options, local_system_parts=parts
+                nlp,
+                options,
+                local_system_parts=parts,
+                stage_structure=self._stage_structure,
             )
         self._generated = True
 

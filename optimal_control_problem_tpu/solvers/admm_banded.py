@@ -1,0 +1,271 @@
+"""Banded (block-tridiagonal) ADMM for stage-structured OCP QPs.
+
+The condensed ADMM operator of a stage-structured problem is
+block-tridiagonal (stagewise.py): the Hessian is block-diagonal per frame,
+the constraint stack ``A = [I; J_dyn; J_sc]`` has identity rows, dynamics
+rows coupling frames (k, k+1), and per-stage rows — so
+
+    M = P + sigma I + A^T R A
+
+has diagonal blocks ``H_k + sigma I + diag(rho_x_k) + J0_k^T R_k J0_k +
+J1_{k-1}^T R_{k-1} J1_{k-1} + Jc_k^T Rc_k Jc_k`` and subdiagonal blocks
+``J1_k^T R_k J0_k``.
+
+This module never materializes the dense ``(n, n)`` operator or the dense
+``(m, n)`` constraint matrix: the factorization is the block LDL^T of
+``ops/block_tridiag.py`` (O(N w^3) instead of O(N^3 w^3)) and every
+matrix-vector product is computed from the stage blocks (O(N w^2)).  That
+is what makes long horizons (quadrotor h100: n=1600, dense operator
+10 MB/scenario) tractable per-scenario — the OCP analog of exploiting
+sequence structure instead of dense attention (SURVEY.md section 5,
+"long-context").
+
+Semantics: OSQP iteration identical to :mod:`.admm` with two deviations,
+both documented: no Ruiz equilibration (the per-stage Hessian
+regularization plus per-row rho carry the conditioning burden; scaling of
+banded systems is a planned refinement) and cost scaling c = 1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.block_tridiag import btd_factor, btd_solve
+from .admm import (
+    ADMMSettings,
+    _RHO_EQ_OVER_RHO_INEQ,
+    _RHO_MAX,
+    _RHO_MIN,
+    _RHO_TOL,
+    f32_matmuls,
+)
+
+__all__ = ["BandedQP", "admm_solve_banded"]
+
+
+class BandedQP(NamedTuple):
+    """Stage-block description of one QP (leading dims vmappable).
+
+    ``Hb``: (N, w, w) regularized Hessian blocks;
+    ``J0``/``J1``: (N-1, r, w) dynamics Jacobians wrt frame k / k+1
+    (``r = 0`` -> pass shape (N-1, 0, w));
+    ``Jc``: (N, r2, w) stage-constraint Jacobians (``r2 = 0`` allowed);
+    ``q``: (N*w,) linear term;
+    ``l``/``u``: bounds over rows ordered [x (N*w); dyn ((N-1)*r); sc (N*r2)].
+    """
+
+    Hb: jnp.ndarray
+    J0: jnp.ndarray
+    J1: jnp.ndarray
+    Jc: jnp.ndarray
+    q: jnp.ndarray
+    l: jnp.ndarray
+    u: jnp.ndarray
+
+
+def _rho_vec(l, u, rho, dtype):
+    loose = jnp.logical_and(l <= -jnp.inf, u >= jnp.inf)
+    eq = (u - l) < _RHO_TOL
+    rho_v = jnp.full(l.shape, rho, dtype)
+    rho_v = jnp.where(
+        eq, jnp.clip(rho * _RHO_EQ_OVER_RHO_INEQ, _RHO_MIN, _RHO_MAX), rho_v
+    )
+    rho_v = jnp.where(loose, _RHO_MIN, rho_v)
+    return rho_v
+
+
+def _apply_A(qp: BandedQP, x):
+    """A @ x from stage blocks.  x: (N, w) -> rows [x; dyn; sc] flattened."""
+    parts = [x.reshape(-1)]
+    if qp.J0.shape[1]:
+        ax_d = jnp.einsum("krw,kw->kr", qp.J0, x[:-1]) + jnp.einsum(
+            "krw,kw->kr", qp.J1, x[1:]
+        )
+        parts.append(ax_d.reshape(-1))
+    if qp.Jc.shape[1]:
+        parts.append(jnp.einsum("krw,kw->kr", qp.Jc, x).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def _apply_AT(qp: BandedQP, t):
+    """A^T @ t from stage blocks.  t: (m,) -> (N, w)."""
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    r = qp.J0.shape[1]
+    r2 = qp.Jc.shape[1]
+    n = N * w
+    out = t[:n].reshape(N, w)
+    if r:
+        td = t[n : n + (N - 1) * r].reshape(N - 1, r)
+        out = out.at[:-1].add(jnp.einsum("krw,kr->kw", qp.J0, td))
+        out = out.at[1:].add(jnp.einsum("krw,kr->kw", qp.J1, td))
+    if r2:
+        tc = t[n + (N - 1) * r :].reshape(N, r2)
+        out = out + jnp.einsum("krw,kr->kw", qp.Jc, tc)
+    return out
+
+
+def _apply_P(qp: BandedQP, x):
+    """P @ x (block-diagonal Hessian).  x: (N, w) -> (N, w)."""
+    return jnp.einsum("kij,kj->ki", qp.Hb, x)
+
+
+def _build_M_blocks(qp: BandedQP, rho_v, sigma):
+    """Diagonal/subdiagonal blocks of M = P + sigma I + A^T R A."""
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    r = qp.J0.shape[1]
+    r2 = qp.Jc.shape[1]
+    n = N * w
+    dtype = qp.Hb.dtype
+    rho_x = rho_v[:n].reshape(N, w)
+    diag = (
+        qp.Hb
+        + sigma * jnp.eye(w, dtype=dtype)[None]
+        + jax.vmap(jnp.diag)(rho_x)
+    )
+    if r:
+        rho_d = rho_v[n : n + (N - 1) * r].reshape(N - 1, r)
+        RJ0 = rho_d[:, :, None] * qp.J0
+        diag = diag.at[:-1].add(jnp.einsum("krw,krv->kwv", RJ0, qp.J0))
+        diag = diag.at[1:].add(
+            jnp.einsum("kr,krw,krv->kwv", rho_d, qp.J1, qp.J1)
+        )
+        lower = jnp.einsum("krw,krv->kwv", rho_d[:, :, None] * qp.J1, qp.J0)
+    else:
+        lower = jnp.zeros((N - 1, w, w), dtype)
+    if r2:
+        rho_c = rho_v[n + (N - 1) * r :].reshape(N, r2)
+        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_c, qp.Jc, qp.Jc)
+    return diag, lower
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@f32_matmuls
+def admm_solve_banded(
+    qp: BandedQP,
+    settings: ADMMSettings = ADMMSettings(),
+    x0: Optional[jnp.ndarray] = None,  # (n,) warm start
+    y0: Optional[jnp.ndarray] = None,  # (m,)
+):
+    """Solve one stage-structured QP without dense operators.
+
+    Returns the same ``QPSolution`` tuple as :func:`.admm.admm_solve`.
+    ``jax.vmap`` over a batched :class:`BandedQP` batches scenarios.
+    """
+    from .admm import QPSolution
+
+    st = settings
+    dtype = qp.Hb.dtype
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    n = N * w
+    m = qp.l.shape[0]
+    sigma = jnp.asarray(st.sigma, dtype)
+    alpha = jnp.asarray(st.alpha, dtype)
+    l = jnp.minimum(qp.l.astype(dtype), qp.u.astype(dtype))
+    u = qp.u.astype(dtype)
+    q = qp.q.astype(dtype)
+
+    rho_v = _rho_vec(l, u, jnp.asarray(st.rho, dtype), dtype)
+    diag, lower = _build_M_blocks(qp, rho_v, sigma)
+    fac = btd_factor(diag, lower)
+
+    x = jnp.zeros((n,), dtype) if x0 is None else x0.astype(dtype)
+    y = jnp.zeros((m,), dtype) if y0 is None else y0.astype(dtype)
+    z = jnp.clip(_apply_A(qp, x.reshape(N, w)), l, u)
+
+    def one_iter(carry, _):
+        x, z, y, rho, fac = carry
+        rhs = sigma * x - q + _apply_AT(qp, rho * z - y).reshape(-1)
+        xt = btd_solve(fac, rhs.reshape(N, w)).reshape(-1)
+        zt = _apply_A(qp, xt.reshape(N, w))
+        x_new = alpha * xt + (1 - alpha) * x
+        z_rel = alpha * zt + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y / rho, l, u)
+        y_new = y + rho * (z_rel - z_new)
+        return (x_new, z_new, y_new, rho, fac), None
+
+    def residuals(x, z, y):
+        Ax = _apply_A(qp, x.reshape(N, w))
+        Px = _apply_P(qp, x.reshape(N, w)).reshape(-1)
+        Aty = _apply_AT(qp, y).reshape(-1)
+        r_prim = jnp.max(jnp.abs(Ax - z))
+        r_dual = jnp.max(jnp.abs(Px + q + Aty))
+        max_prim = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z)))
+        max_dual = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(Px))),
+            jnp.max(jnp.abs(q)),
+        )
+        eps_pri = st.eps_abs + st.eps_rel * max_prim
+        eps_dua = st.eps_abs + st.eps_rel * max_dual
+        rp_rel = r_prim / jnp.maximum(max_prim, 1e-12)
+        rd_rel = r_dual / jnp.maximum(max_dual, 1e-12)
+        return r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel
+
+    def cond_fn(state):
+        it, x, z, y, rho, fac, done, rp, rd = state
+        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+
+    def body_fn(state):
+        it, x, z, y, rho, fac, done, _, _ = state
+        (x, z, y, rho, fac), _ = jax.lax.scan(
+            one_iter, (x, z, y, rho, fac), None, length=st.check_every
+        )
+        it = it + st.check_every
+        r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel = residuals(x, z, y)
+        done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+
+        if st.adaptive_rho:
+            def maybe_adapt(args):
+                rho, fac = args
+                scale = jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-12))
+                scale = jnp.clip(scale, 1e-3, 1e3)
+                trigger = jnp.logical_or(
+                    scale > st.adaptive_rho_tolerance,
+                    scale < 1.0 / st.adaptive_rho_tolerance,
+                )
+
+                def adapt(_):
+                    new_rho = jnp.clip(rho * scale, _RHO_MIN, _RHO_MAX)
+                    d, lo = _build_M_blocks(qp, new_rho, sigma)
+                    return new_rho, btd_factor(d, lo)
+
+                return jax.lax.cond(
+                    jnp.logical_and(trigger, jnp.logical_not(done)),
+                    adapt,
+                    lambda _: (rho, fac),
+                    None,
+                )
+
+            do_adapt = (it % st.adaptive_rho_interval) < st.check_every
+            rho, fac = jax.lax.cond(
+                do_adapt, maybe_adapt, lambda a: a, (rho, fac)
+            )
+        return (it, x, z, y, rho, fac, done, r_prim, r_dual)
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    state = (
+        jnp.asarray(0, jnp.int32),
+        x,
+        z,
+        y,
+        rho_v,
+        fac,
+        jnp.asarray(False),
+        inf,
+        inf,
+    )
+    it, x, z, y, rho_v, fac, done, r_prim, r_dual = jax.lax.while_loop(
+        cond_fn, body_fn, state
+    )
+    return QPSolution(
+        x=x,
+        y=y,
+        z=z,
+        iters=it,
+        converged=done,
+        r_prim=r_prim,
+        r_dual=r_dual,
+    )

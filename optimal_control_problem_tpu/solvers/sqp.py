@@ -358,6 +358,7 @@ class SQPOptimizationSolver:
         nlp: Dict[str, Any],
         options: Optional[Dict | SQPOptions] = None,
         local_system_parts=None,
+        stage_structure=None,
     ):
         if options is None:
             options = SQPOptions()
@@ -404,12 +405,22 @@ class SQPOptimizationSolver:
         self._qp_n = (self.n_p + self.n_x) if aug else self.n_x
         self._qp_m = self._qp_n + self.n_g
 
-        if options.shared_system is None:
+        self.stage_structure = stage_structure
+        if options.admm.method == "banded" and stage_structure is None:
+            raise ValueError(
+                "ADMM method 'banded' requires a stage structure "
+                "(OptimalControlProblem.set_stage_structure)"
+            )
+
+        if options.shared_system is None and options.admm.method != "banded":
             self.shared_system = self._detect_shared_system()
         else:
-            self.shared_system = bool(options.shared_system)
+            self.shared_system = bool(options.shared_system or False)
 
-        self.solve_fn = self._build_solve_fn()
+        if options.admm.method == "banded":
+            self.solve_fn = self._build_solve_banded_fn()
+        else:
+            self.solve_fn = self._build_solve_fn()
         self.solve_batch_fn = (
             self._build_solve_batch_fn() if self.shared_system else None
         )
@@ -483,6 +494,66 @@ class SQPOptimizationSolver:
                 x_new = x + alpha * dx
                 fval = f_fn(x_new, p)
                 step_norm = jnp.linalg.norm(alpha * dx)
+                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
+
+            (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
+                sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
+            )
+            return SQPResult(
+                x=x,
+                f=f_hist[-1],
+                qp_x=qpx,
+                qp_y=qpy,
+                f_history=f_hist,
+                qp_iters=qp_iters,
+                step_norms=step_norms,
+            )
+
+        return jax.jit(solve)
+
+    def _build_solve_banded_fn(self):
+        """Single-scenario solve using the block-tridiagonal ADMM
+        (solvers/admm_banded.py) — no dense operators; vmap for batching.
+        """
+        from ..stagewise import build_stage_blocks
+        from .admm_banded import BandedQP, admm_solve_banded
+
+        opt = self.options
+        ss = self.stage_structure
+        alpha = opt.alpha
+        f_fn = self.f_fn
+        admm_settings = opt.admm
+        dtype = opt.dtype
+        _, _, vectors, stack_bounds = self._parts
+        blocks = build_stage_blocks(ss, dtype, opt.hessian_reg)
+
+        def solve(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
+            x_init = x_init.astype(dtype)
+            p = p.astype(dtype)
+
+            def sqp_iter(carry, _):
+                x, qpx, qpy = carry
+                Hb, J0, J1, Jc = blocks(x, p)
+                grad, cval = vectors(x, p)
+                lower, upper = stack_bounds(p, lbx, ubx, lbg, ubg)
+                qp = BandedQP(
+                    Hb=Hb,
+                    J0=J0,
+                    J1=J1,
+                    Jc=Jc,
+                    q=grad,
+                    l=lower - cval,
+                    u=upper - cval,
+                )
+                sol = admm_solve_banded(
+                    qp,
+                    admm_settings,
+                    x0=qpx if opt.qp_warm_start else None,
+                    y0=qpy if opt.qp_warm_start else None,
+                )
+                x_new = x + alpha * sol.x
+                fval = f_fn(x_new, p)
+                step_norm = jnp.linalg.norm(alpha * sol.x)
                 return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
 
             (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(

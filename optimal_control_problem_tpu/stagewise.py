@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["StageStructure", "build_stagewise_fns", "build_stagewise_parts"]
+__all__ = [
+    "StageStructure",
+    "build_stagewise_fns",
+    "build_stagewise_parts",
+    "build_stage_blocks",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -249,3 +254,63 @@ def _scatter_stage_rows(A, Jc, row0, r, w):
     k_idx = jnp.arange(H)
     rows = rows.at[k_idx, :, k_idx, :].set(Jc)
     return A.at[row0 : row0 + H * r, :].set(rows.reshape(H * r, n_x))
+
+
+def build_stage_blocks(ss: StageStructure, dtype, hessian_reg="auto"):
+    """Per-scenario stage-block evaluator for the banded ADMM path.
+
+    Returns ``blocks(x, p) -> (Hb, J0, J1, Jc)`` with the regularized
+    Hessian blocks and the dynamics/stage-constraint Jacobian blocks —
+    never materializing the dense operator (solvers/admm_banded.py).
+    """
+    H, w = ss.horizon, ss.frame_size
+    r_dyn = ss.dynamics_size if ss.dynamics is not None else 0
+    r_sc = (
+        len(np.atleast_1d(ss.stage_constraints[1]))
+        if ss.stage_constraints is not None
+        else 0
+    )
+    ks = jnp.arange(H)
+    stage_hess = jax.vmap(jax.hessian(ss.stage_cost))
+    if ss.dynamics is not None:
+        dyn_jac0 = jax.vmap(jax.jacfwd(ss.dynamics, argnums=0))
+        dyn_jac1 = jax.vmap(jax.jacfwd(ss.dynamics, argnums=1))
+    if ss.stage_constraints is not None:
+        sc_jac = jax.vmap(jax.jacfwd(ss.stage_constraints[0], argnums=0))
+
+    # Reuse the regularizer from build_stagewise_parts by rebuilding it here
+    # (same semantics).
+    def _regularize_blocks(Hb):
+        sym = 0.5 * (Hb + jnp.swapaxes(Hb, -1, -2))
+        if hessian_reg == "auto":
+            diag = jnp.diagonal(sym, axis1=-2, axis2=-1)
+            offsum = jnp.sum(jnp.abs(sym), axis=-1) - jnp.abs(diag)
+            bound = jnp.min(diag - offsum, axis=-1)
+            shift = jnp.maximum(jnp.asarray(0.0, Hb.dtype), 1e-6 - bound)
+            return Hb + shift[:, None, None] * jnp.eye(w, dtype=Hb.dtype)
+        if hessian_reg == "eigh":
+            w_min = jnp.linalg.eigvalsh(sym)[..., 0]
+            shift = jnp.maximum(jnp.asarray(0.0, Hb.dtype), 1e-6 - w_min)
+            return Hb + shift[:, None, None] * jnp.eye(w, dtype=Hb.dtype)
+        reg = float(hessian_reg)
+        if reg > 0.0:
+            return Hb + reg * jnp.eye(w, dtype=Hb.dtype)
+        return Hb
+
+    def blocks(x, p):
+        frames = x.reshape(H, w).astype(dtype)
+        refs = ss.ref_frames(p.astype(dtype))
+        Hb = _regularize_blocks(stage_hess(frames, refs, ks))
+        if r_dyn:
+            J0 = dyn_jac0(frames[:-1], frames[1:])
+            J1 = dyn_jac1(frames[:-1], frames[1:])
+        else:
+            J0 = jnp.zeros((H - 1, 0, w), dtype)
+            J1 = jnp.zeros((H - 1, 0, w), dtype)
+        if r_sc:
+            Jc = sc_jac(frames, refs, ks)
+        else:
+            Jc = jnp.zeros((H, 0, w), dtype)
+        return Hb, J0, J1, Jc
+
+    return blocks

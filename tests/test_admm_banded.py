@@ -1,0 +1,165 @@
+"""Banded (block-tridiagonal) ADMM vs the dense solver on the same QP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimal_control_problem_tpu.solvers.admm import ADMMSettings, admm_solve
+from optimal_control_problem_tpu.solvers.admm_banded import (
+    BandedQP,
+    admm_solve_banded,
+)
+
+# The banded path skips Ruiz scaling; compare against the dense solver with
+# scaling disabled so both run the identical algorithm.
+SET = ADMMSettings(
+    eps_abs=1e-4,
+    eps_rel=1e-4,
+    method="condensed",
+    scaling_iters=0,
+    adaptive_rho=True,
+)
+
+
+def random_stage_qp(seed, N=6, w=4, r=3, r2=1):
+    rng = np.random.default_rng(seed)
+    Hb = []
+    for _ in range(N):
+        L = rng.normal(size=(w, w))
+        Hb.append(L @ L.T + 2 * np.eye(w))
+    Hb = np.stack(Hb).astype(np.float32)
+    J0 = (0.5 * rng.normal(size=(N - 1, r, w))).astype(np.float32)
+    J1 = (0.5 * rng.normal(size=(N - 1, r, w))).astype(np.float32)
+    Jc = (0.5 * rng.normal(size=(N, r2, w))).astype(np.float32)
+    n = N * w
+    q = rng.normal(size=n).astype(np.float32)
+    # Bounds: x rows boxed, dynamics rows equality at 0, sc rows one-sided.
+    l = np.concatenate(
+        [
+            np.full(n, -2.0),
+            np.zeros((N - 1) * r),
+            np.full(N * r2, -1.0),
+        ]
+    ).astype(np.float32)
+    u = np.concatenate(
+        [
+            np.full(n, 2.0),
+            np.zeros((N - 1) * r),
+            np.full(N * r2, np.inf),
+        ]
+    ).astype(np.float32)
+    return BandedQP(
+        Hb=jnp.asarray(Hb),
+        J0=jnp.asarray(J0),
+        J1=jnp.asarray(J1),
+        Jc=jnp.asarray(Jc),
+        q=jnp.asarray(q),
+        l=jnp.asarray(l),
+        u=jnp.asarray(u),
+    )
+
+
+def dense_equivalent(qp: BandedQP):
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    r = qp.J0.shape[1]
+    r2 = qp.Jc.shape[1]
+    n = N * w
+    P = np.zeros((n, n), np.float32)
+    for k in range(N):
+        P[k * w : (k + 1) * w, k * w : (k + 1) * w] = np.asarray(qp.Hb[k])
+    rows = [np.eye(n, dtype=np.float32)]
+    if r:
+        Ad = np.zeros(((N - 1) * r, n), np.float32)
+        for k in range(N - 1):
+            Ad[k * r : (k + 1) * r, k * w : (k + 1) * w] = np.asarray(qp.J0[k])
+            Ad[k * r : (k + 1) * r, (k + 1) * w : (k + 2) * w] = np.asarray(
+                qp.J1[k]
+            )
+        rows.append(Ad)
+    if r2:
+        Ac = np.zeros((N * r2, n), np.float32)
+        for k in range(N):
+            Ac[k * r2 : (k + 1) * r2, k * w : (k + 1) * w] = np.asarray(qp.Jc[k])
+        rows.append(Ac)
+    A = np.concatenate(rows, axis=0)
+    return P, A
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_banded_matches_dense(seed):
+    qp = random_stage_qp(seed)
+    P, A = dense_equivalent(qp)
+    dense = admm_solve(
+        jnp.asarray(P), qp.q, jnp.asarray(A), qp.l, qp.u, SET
+    )
+    banded = admm_solve_banded(qp, SET)
+    assert bool(dense.converged) and bool(banded.converged)
+    np.testing.assert_allclose(
+        np.asarray(banded.x), np.asarray(dense.x), atol=5e-3
+    )
+
+
+def test_banded_no_stage_constraints():
+    qp = random_stage_qp(2, r2=0)
+    P, A = dense_equivalent(qp)
+    dense = admm_solve(jnp.asarray(P), qp.q, jnp.asarray(A), qp.l, qp.u, SET)
+    banded = admm_solve_banded(qp, SET)
+    assert bool(banded.converged)
+    np.testing.assert_allclose(
+        np.asarray(banded.x), np.asarray(dense.x), atol=5e-3
+    )
+
+
+def test_banded_vmap():
+    qps = [random_stage_qp(s) for s in range(3)]
+    stacked = BandedQP(*[jnp.stack([getattr(q, f) for q in qps]) for f in qps[0]._fields])
+    sols = jax.vmap(lambda qp: admm_solve_banded(qp, SET))(stacked)
+    for b in range(3):
+        single = admm_solve_banded(qps[b], SET)
+        np.testing.assert_allclose(
+            np.asarray(sols.x[b]), np.asarray(single.x), atol=1e-4
+        )
+
+
+def test_banded_sqp_end_to_end_cartpole():
+    """Full SQP with the banded inner solver matches the dense path."""
+    from optimal_control_problem_tpu.models import cartpole
+
+    H = 8
+    base = dict(
+        horizon=H, dt=0.04, alpha=0.3, step_num=6, formulation="reduced"
+    )
+    dense_cfg = cartpole.make_config(
+        **base,
+        ADMM_settings={"method": "condensed", "max_iter": 1000, "scaling_iters": 0},
+    )
+    banded_cfg = cartpole.make_config(
+        **base, ADMM_settings={"method": "banded", "max_iter": 1000}
+    )
+    # scaling_iters isn't parsed from YAML; patch the settings directly.
+    dense = cartpole.build(dense_cfg, stagewise=True)
+    banded = cartpole.build(banded_cfg, stagewise=True)
+
+    frame = cartpole.initial_state(th=0.4)
+    ref = np.array([np.pi])
+    for _ in range(2):
+        dense.compute_optimal_trajectory(frame, ref)
+        banded.compute_optimal_trajectory(frame, ref)
+    td = np.asarray(dense.get_optimal_trajectory())
+    tb = np.asarray(banded.get_optimal_trajectory())
+    assert np.isfinite(tb).all()
+    # Dense path uses Ruiz scaling, banded does not: same fixed point to
+    # QP-tolerance accuracy.
+    np.testing.assert_allclose(tb, td, atol=5e-2)
+
+
+def test_banded_requires_structure():
+    from optimal_control_problem_tpu.models import cartpole
+
+    cfg = cartpole.make_config(
+        horizon=6, dt=0.04, formulation="reduced",
+        ADMM_settings={"method": "banded"},
+    )
+    with pytest.raises(ValueError, match="banded"):
+        cartpole.build(cfg)  # no stage structure registered
