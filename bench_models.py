@@ -162,7 +162,7 @@ def main():
             quadrotor.reference_hover(100)[None, :], (B_q, 1)
         ).astype(np.float32)
         bench_model(
-            "quadrotor_h100",
+            "quadrotor_h100_banded",
             lambda: quadrotor.build(
                 quadrotor.make_config(
                     horizon=100,
@@ -170,8 +170,9 @@ def main():
                     alpha=0.3,
                     step_num=5,
                     formulation="reduced",
-                    ADMM_settings={**admm_nl, "max_iter": 250},
-                )
+                    ADMM_settings={"method": "banded", "max_iter": 250},
+                ),
+                stagewise=True,
             ),
             frames,
             refs,

@@ -111,9 +111,13 @@ class SolverSettings:
         admm_node = node.get("ADMM_settings", {})
         self.admm = ADMMSettings(
             rho=float(admm_node.get("rho", 0.1)),
+            sigma=float(admm_node.get("sigma", 1e-6)),
+            alpha=float(admm_node.get("alpha", 1.6)),
             eps_abs=float(admm_node.get("eps_abs", 1e-3)),
             eps_rel=float(admm_node.get("eps_rel", 1e-3)),
             max_iter=int(admm_node.get("max_iter", 10000)),
+            check_every=int(admm_node.get("check_every", 25)),
+            scaling_iters=int(admm_node.get("scaling_iters", 10)),
             adaptive_rho=bool(admm_node.get("adaptive_rho", True)),
             method=str(admm_node.get("method", "kkt")),
             backend=str(admm_node.get("backend", "xla")),
