@@ -132,12 +132,73 @@ class UnicycleOCP(OptimalControlProblem):
             )
 
 
+def stage_structure(
+    horizon: int,
+    dt: float,
+    halfspaces: Sequence[Tuple[Tuple[float, float], float]] = (),
+    w_pos: float = 5.0,
+    w_u: float = 0.05,
+):
+    """Stage-separable declaration (stagewise.py); half-space obstacle rows
+    become per-stage inequality constraints."""
+    from ..stagewise import StageStructure
+
+    normals = np.asarray([n for n, _ in halfspaces], np.float32).reshape(-1, 2)
+    offsets = np.asarray([b for _, b in halfspaces], np.float32)
+
+    def stage_cost(frame, ref, k):
+        return w_pos * jnp.sum(jnp.square(frame[0:2] - ref)) + w_u * jnp.sum(
+            jnp.square(frame[3:5])
+        )
+
+    def dynamics(frame, next_frame):
+        x, y, th, v, om = frame
+        return jnp.stack(
+            [
+                next_frame[0] - (x + dt * v * jnp.cos(th)),
+                next_frame[1] - (y + dt * v * jnp.sin(th)),
+                next_frame[2] - (th + dt * om),
+            ]
+        )
+
+    sc = None
+    if len(halfspaces):
+        nrm = jnp.asarray(normals)
+
+        def hs(frame, ref, k):
+            return nrm @ frame[0:2]
+
+        sc = (hs, offsets.tolist(), [np.inf] * len(halfspaces))
+
+    return StageStructure(
+        horizon=horizon,
+        frame_size=FRAME,
+        stage_cost=stage_cost,
+        dynamics=dynamics,
+        dynamics_size=3,
+        stage_constraints=sc,
+        ref_frame_size=2,
+    )
+
+
 def build(
     config: Optional[Dict[str, Any]] = None,
     halfspaces: Sequence[Tuple[Tuple[float, float], float]] = (((0.0, 1.0), -0.5),),
+    stagewise: bool = False,
     **kw,
 ) -> UnicycleOCP:
     ocp = UnicycleOCP(config, halfspaces=halfspaces, **kw)
+    if stagewise:
+        cfg = ocp.ocp_config
+        ocp.set_stage_structure(
+            stage_structure(
+                cfg.get_horizon(),
+                cfg.get_dt(),
+                halfspaces=halfspaces,
+                w_pos=ocp.w_pos,
+                w_u=ocp.w_u,
+            )
+        )
     ocp.gen_solver()
     return ocp
 

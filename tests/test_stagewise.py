@@ -105,3 +105,35 @@ def test_quadrotor_stagewise_matches_generic():
     Hs, As = jax.jit(staged.solver._parts[1])(X, P)
     np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hg), atol=1e-4)
     np.testing.assert_allclose(np.asarray(As), np.asarray(Ag), atol=1e-4)
+
+
+def test_unicycle_stagewise_matches_generic():
+    from optimal_control_problem_tpu.models import unicycle
+
+    Hu = 8
+    hs = (((0.0, 1.0), -0.4),)
+    cfg = unicycle.make_config(
+        horizon=Hu, dt=0.1, alpha=0.4, step_num=5, formulation="reduced",
+        ADMM_settings={"method": "condensed", "max_iter": 500},
+    )
+    generic = unicycle.build(dict(cfg), halfspaces=hs)
+    staged = unicycle.build(dict(cfg), halfspaces=hs, stagewise=True)
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.normal(size=(Hu * unicycle.FRAME,)) * 0.3, jnp.float32)
+    P = jnp.asarray(unicycle.reference_line(Hu, 0.1), jnp.float32)
+    fg, gg = generic.nlp_functions
+    fs, gs = staged.nlp_functions
+    np.testing.assert_allclose(float(fg(X, P)), float(fs(X, P)), rtol=1e-5)
+    # Generic registry orders: dynamics rows then obstacle rows (same as
+    # stagewise since there is a single halfspace applied per stage).
+    np.testing.assert_allclose(
+        np.asarray(gg(X, P)), np.asarray(gs(X, P)), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        generic.get_constraint_lower_bounds(),
+        staged.get_constraint_lower_bounds(),
+    )
+    Hg, Ag = jax.jit(generic.solver._parts[1])(X, P)
+    Hs, As = jax.jit(staged.solver._parts[1])(X, P)
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hg), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(As), np.asarray(Ag), atol=1e-4)
