@@ -114,3 +114,153 @@ def dense_to_blocks(M: jnp.ndarray, N: int, w: int):
     diag = jnp.stack([Mb[k, :, k, :] for k in range(N)])
     lower = jnp.stack([Mb[k + 1, :, k, :] for k in range(N - 1)])
     return diag, lower
+
+
+# ----------------------------------------------------------------------
+# Cyclic reduction: log-depth block-tridiagonal solve.
+#
+# Block-Thomas (above) is O(N) sequential depth — right for large batches
+# where every scan step is a full batch of block ops.  Odd-even cyclic
+# reduction eliminates all odd stages simultaneously at each of log2(N)
+# levels, so the sequential depth is ~2 log2(N): the right shape for
+# latency-critical small batches and the building block for horizon-axis
+# sharding across ICI neighbors (each level's eliminations are independent
+# -> shard stages over devices, exchange boundary blocks).
+
+class CRFactor(NamedTuple):
+    """Per-level precomputed elimination operators.
+
+    ``levels``: tuple over levels of
+    ``(G_lo, G_hi, dinv_odd)`` where for each even-survivor j of that level
+    ``G_lo = L_j D_{j-1}^{-1}`` (coupling to the lower odd neighbor),
+    ``G_hi = L_{j+1}^T D_{j+1}^{-1}`` (upper odd neighbor), and
+    ``dinv_odd`` are the inverses of the eliminated odd pivots;
+    ``root_dinv``: inverse of the final 1-block system;
+    ``lowers``: per-level subdiagonal blocks (for back-substitution);
+    ``n_orig``: original stage count before padding.
+    """
+
+    levels: tuple
+    root_dinv: jnp.ndarray
+    n_orig: int
+
+
+def _pad_pow2(diag, lower):
+    N, w, _ = diag.shape
+    N2 = 1 << max(1, (N - 1).bit_length())
+    if N2 == N:
+        return diag, lower
+    eye = jnp.broadcast_to(jnp.eye(w, dtype=diag.dtype), (N2 - N, w, w))
+    diag = jnp.concatenate([diag, eye], axis=0)
+    zeros = jnp.zeros((N2 - 1 - lower.shape[0], w, w), diag.dtype)
+    lower = jnp.concatenate([lower, zeros], axis=0)
+    return diag, lower
+
+
+@f32_matmuls
+def cr_factor(diag: jnp.ndarray, lower: jnp.ndarray) -> CRFactor:
+    """Precompute cyclic-reduction elimination operators.
+
+    ``diag``: (N, w, w); ``lower``: (N-1, w, w).  N is padded to a power of
+    two with identity blocks.
+    """
+    n_orig = diag.shape[0]
+    diag, lower = _pad_pow2(diag, lower)
+    N, w, _ = diag.shape
+    # Use a uniform representation: L[k] couples stage k to k-1, L[0] = 0.
+    L = jnp.concatenate([jnp.zeros((1, w, w), diag.dtype), lower], axis=0)
+
+    levels = []
+    while N > 1:
+        odd_d = diag[1::2]  # (N/2, w, w) pivots to eliminate
+        dinv_odd = jnp.linalg.inv(odd_d)
+        even_d = diag[0::2]
+        # For even survivor j (global 2i): lower odd neighbor 2i-1, upper
+        # odd neighbor 2i+1.
+        L_from_lower = L[0::2]  # couples 2i -> 2i-1
+        L_to_upper = L[1::2]  # couples 2i+1 -> 2i  (use transpose upward)
+        dinv_lo = jnp.concatenate(
+            [jnp.zeros((1, w, w), diag.dtype), dinv_odd[:-1]], axis=0
+        )
+        G_lo = jnp.einsum("kij,kjl->kil", L_from_lower, dinv_lo)
+        G_hi = jnp.einsum("kji,kjl->kil", L_to_upper, dinv_odd)
+        new_diag = (
+            even_d
+            - jnp.einsum("kij,klj->kil", G_lo, L_from_lower)
+            - jnp.einsum("kij,kjl->kil", G_hi, L_to_upper)
+        )
+        # New subdiagonal: survivor 2i couples to 2i-2 through odd 2i-1:
+        # L'_i = -G_lo[i] @ L[2i-1] (L[odd] couples 2i-1 -> 2i-2).
+        L_odd = L[1::2]
+        new_L = -jnp.einsum(
+            "kij,kjl->kil", G_lo[1:], L_odd[:-1]
+        )
+        new_L = jnp.concatenate(
+            [jnp.zeros((1, w, w), diag.dtype), new_L], axis=0
+        )
+        levels.append((G_lo, G_hi, dinv_odd, L_odd, L_from_lower, L_to_upper))
+        diag, L = new_diag, new_L
+        N //= 2
+
+    root_dinv = jnp.linalg.inv(diag[0])
+    return CRFactor(levels=tuple(levels), root_dinv=root_dinv, n_orig=n_orig)
+
+
+@f32_matmuls
+def cr_solve(fac: CRFactor, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve M x = b with precomputed cyclic-reduction factors.  b: (N, w)."""
+    n_orig = fac.n_orig
+    w = b.shape[1]
+    N2 = 1 << max(1, (n_orig - 1).bit_length())
+    if N2 != n_orig:
+        b = jnp.concatenate(
+            [b, jnp.zeros((N2 - n_orig, w), b.dtype)], axis=0
+        )
+
+    # Down-sweep: fold odd rhs into even survivors.
+    rhs_stack = []
+    for G_lo, G_hi, dinv_odd, L_odd, L_lo, L_up in fac.levels:
+        b_even = b[0::2]
+        b_odd = b[1::2]
+        b_odd_lo = jnp.concatenate(
+            [jnp.zeros((1, w), b.dtype), b_odd[:-1]], axis=0
+        )
+        b_new = (
+            b_even
+            - jnp.einsum("kij,kj->ki", G_lo, b_odd_lo)
+            - jnp.einsum("kij,kj->ki", G_hi, b_odd)
+        )
+        rhs_stack.append(b_odd)
+        b = b_new
+
+    x = jnp.einsum("ij,j->i", fac.root_dinv, b[0])[None, :]
+
+    # Up-sweep: recover odd unknowns at each level.
+    for (G_lo, G_hi, dinv_odd, L_odd, L_lo, L_up), b_odd in zip(
+        reversed(fac.levels), reversed(rhs_stack)
+    ):
+        # x currently holds the even survivors of this level.
+        x_even = x
+        # odd i (global 2i+1): D x = b_odd - L_odd x_{2i} - L_up^T... the
+        # row of odd stage couples to even neighbors 2i and 2i+2:
+        # L[2i+1] x_{2i} + D x + L[2i+2]^T x_{2i+2} = b_odd.
+        x_lo = x_even
+        x_hi = jnp.concatenate(
+            [x_even[1:], jnp.zeros((1, w), x.dtype)], axis=0
+        )
+        L_next = jnp.concatenate(
+            [L_lo[1:], jnp.zeros((1, w, w), x.dtype)], axis=0
+        )
+        rhs = (
+            b_odd
+            - jnp.einsum("kij,kj->ki", L_odd, x_lo)
+            - jnp.einsum("kji,kj->ki", L_next, x_hi)
+        )
+        x_odd = jnp.einsum("kij,kj->ki", dinv_odd, rhs)
+        # Interleave even/odd back to this level's full ordering.
+        n_level = x_even.shape[0] + x_odd.shape[0]
+        x = jnp.zeros((n_level, w), x.dtype)
+        x = x.at[0::2].set(x_even)
+        x = x.at[1::2].set(x_odd)
+
+    return x[:n_orig]

@@ -121,6 +121,7 @@ class SolverSettings:
             adaptive_rho=bool(admm_node.get("adaptive_rho", True)),
             method=str(admm_node.get("method", "kkt")),
             backend=str(admm_node.get("backend", "xla")),
+            precision=str(admm_node.get("precision", "highest")),
             polish=bool(admm_node.get("polish", False)),
         )
 

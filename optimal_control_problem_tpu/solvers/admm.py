@@ -53,23 +53,30 @@ __all__ = [
 ]
 
 
-def f32_matmuls(fn):
-    """Trace ``fn`` with HIGHEST matmul precision.
+def f32_matmuls(fn=None, *, precision: str = "highest"):
+    """Trace ``fn`` with elevated matmul precision (default HIGHEST).
 
     On TPU the default float32 matmul runs as a single bfloat16 MXU pass;
     that floors ADMM/KKT residuals far above the 1e-3 termination tolerance
     (the solve must be genuinely float32, like the reference's OSQP build
     with ``OSQP_USE_FLOAT=ON``, cuda_install.sh:44).  Applied to every
     solver-internal function that feeds residuals or factorizations.
+    Usable bare (``@f32_matmuls``) or parameterized
+    (``@f32_matmuls(precision="high")``).
     """
     import functools
 
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
+    def deco(f):
+        @functools.wraps(f)
+        def wrapped(*args, **kwargs):
+            with jax.default_matmul_precision(precision):
+                return f(*args, **kwargs)
 
-    return wrapped
+        return wrapped
+
+    if fn is not None:
+        return deco(fn)
+    return deco
 
 # OSQP constants (osqp v1.0.0-beta1 defaults; the reference overrides only the
 # tolerances/max_iter listed in SQPOptimizationSolver.cpp:80-85).
@@ -102,6 +109,11 @@ class ADMMSettings:
     # adaptive rho).  "pallas" keeps the per-scenario operator resident in
     # VMEM across all iterations — the win for vmapped nonlinear models.
     backend: str = "xla"
+    # Matmul precision for solver-internal linear algebra.  "highest"
+    # (6-pass) is the safe default on TPU (see f32_matmuls); "high"
+    # (3-pass bf16) trades ~2x matmul cost for a slightly earlier float32
+    # noise floor - validate convergence before enabling.
+    precision: str = "highest"
     # OSQP-style solution polishing: after convergence, re-solve the
     # equality-constrained KKT system on the detected active set (masked
     # formulation, delta-regularized, one iterative-refinement step) and
@@ -205,7 +217,6 @@ def _factor(Pb, Ab, rho_v, sigma, method: str):
 
 
 @partial(jax.jit, static_argnames=("settings",))
-@f32_matmuls
 def admm_solve(
     P: jnp.ndarray,
     q: jnp.ndarray,
@@ -221,6 +232,11 @@ def admm_solve(
     ``x0``/``y0`` warm-start the iteration (OSQP ``warm_start``,
     ``SQPOptimizationSolver.cpp:82``).
     """
+    with jax.default_matmul_precision(settings.precision):
+        return _admm_solve_impl(P, q, A, l, u, settings, x0, y0)
+
+
+def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
     dtype = P.dtype
     n = P.shape[0]
     m = A.shape[0]

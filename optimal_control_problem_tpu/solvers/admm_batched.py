@@ -121,7 +121,6 @@ def _factor_shared(Pb, Ab, rho_v, sigma, method: str):
     return jnp.linalg.inv(K)
 
 
-@f32_matmuls
 def prepare_shared(
     P: jnp.ndarray,  # (n, n) shared Hessian
     A: jnp.ndarray,  # (m, n) shared constraint matrix
@@ -132,11 +131,16 @@ def prepare_shared(
 ) -> SharedQPFactor:
     """Equilibrate, choose per-row rho, and factorize — once per solve.
 
-    Matmuls run at HIGHEST precision: the TPU default (one bfloat16 MXU
-    pass) floors ADMM residuals above the 1e-3 termination tolerance — the
-    solve must be genuinely float32 like the reference's OSQP build
-    (``OSQP_USE_FLOAT=ON``, cuda_install.sh:44).
+    Matmuls run at ``settings.precision`` (default HIGHEST): the TPU
+    default (one bfloat16 MXU pass) floors ADMM residuals above the 1e-3
+    termination tolerance — the solve must be genuinely float32 like the
+    reference's OSQP build (``OSQP_USE_FLOAT=ON``, cuda_install.sh:44).
     """
+    with jax.default_matmul_precision(settings.precision):
+        return _prepare_shared_impl(P, A, l, u, q_typical, settings)
+
+
+def _prepare_shared_impl(P, A, l, u, q_typical, settings):
     dtype = P.dtype
     n = P.shape[0]
     st = settings
@@ -159,7 +163,6 @@ def prepare_shared(
     return SharedQPFactor(Pb=Pb, Ab=Ab, D=D, E=E, c=c, rho_v=rho_v, OP=OP)
 
 
-@f32_matmuls
 def admm_iterate_prepared(
     fac: SharedQPFactor,
     q: jnp.ndarray,  # (B, n)
@@ -176,6 +179,11 @@ def admm_iterate_prepared(
     SQP ``scan``.  Runs until every scenario meets the OSQP termination
     criteria or ``max_iter``.
     """
+    with jax.default_matmul_precision(settings.precision):
+        return _admm_iterate_impl(fac, q, l, u, settings, x0, y0)
+
+
+def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
     dtype = fac.Pb.dtype
     st = settings
     B, n = q.shape

@@ -85,3 +85,45 @@ def test_btd_vmap_batches():
         np.testing.assert_allclose(
             np.asarray(xs[s]).reshape(-1), ref, rtol=2e-3, atol=2e-4
         )
+
+
+@pytest.mark.parametrize("N,w", [(8, 4), (10, 3), (33, 5), (50, 8)])
+def test_cyclic_reduction_matches_dense(N, w):
+    from optimal_control_problem_tpu.ops.block_tridiag import cr_factor, cr_solve
+
+    diag, lower, M = random_btd(7, N, w)
+    rng = np.random.default_rng(11)
+    b = rng.normal(size=(N, w)).astype(np.float32)
+    fac = cr_factor(jnp.asarray(diag), jnp.asarray(lower))
+    x = cr_solve(fac, jnp.asarray(b))
+    x_dense = np.linalg.solve(
+        M.astype(np.float64), b.reshape(-1).astype(np.float64)
+    )
+    np.testing.assert_allclose(
+        np.asarray(x).reshape(-1), x_dense, rtol=3e-3, atol=3e-4
+    )
+
+
+def test_cyclic_reduction_vmap():
+    from optimal_control_problem_tpu.ops.block_tridiag import cr_factor, cr_solve
+
+    B, N, w = 4, 16, 4
+    rng = np.random.default_rng(12)
+    diags, lowers, Ms, bs = [], [], [], []
+    for s in range(B):
+        d, l, M = random_btd(s + 20, N, w)
+        diags.append(d), lowers.append(l), Ms.append(M)
+        bs.append(rng.normal(size=(N, w)).astype(np.float32))
+    solve_b = jax.vmap(lambda d, l, b: cr_solve(cr_factor(d, l), b))
+    xs = solve_b(
+        jnp.asarray(np.stack(diags)),
+        jnp.asarray(np.stack(lowers)),
+        jnp.asarray(np.stack(bs)),
+    )
+    for s in range(B):
+        ref = np.linalg.solve(
+            Ms[s].astype(np.float64), bs[s].reshape(-1).astype(np.float64)
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs[s]).reshape(-1), ref, rtol=3e-3, atol=3e-4
+        )
