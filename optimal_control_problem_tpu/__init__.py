@@ -10,9 +10,12 @@ variable layouts and bounds, and — new here — batched (vmap) and multi-chip
 """
 
 from .config import Frame, OCPConfig, load_config
+from .controller import MPCController
 from .problem import OptimalControlProblem, SolverType
 from .solvers.admm import ADMMSettings, QPSolution, admm_solve
+from .solvers.qp_interface import CuCaQP, TpuQP
 from .solvers.sqp import SQPOptimizationSolver, SQPOptions, SQPResult
+from .stagewise import StageStructure
 from . import sym
 
 __version__ = "0.1.0"
@@ -21,13 +24,17 @@ __all__ = [
     "Frame",
     "OCPConfig",
     "load_config",
+    "MPCController",
     "OptimalControlProblem",
     "SolverType",
     "ADMMSettings",
     "QPSolution",
     "admm_solve",
+    "CuCaQP",
+    "TpuQP",
     "SQPOptimizationSolver",
     "SQPOptions",
     "SQPResult",
+    "StageStructure",
     "sym",
 ]

@@ -18,6 +18,7 @@ import numpy as np
 from ..problem import OptimalControlProblem, SolverSettings
 
 FRAME = 5  # x dx th dth F
+CONTROL_SLICE = slice(4, 5)  # control entries within one frame
 
 
 def make_config(

@@ -23,6 +23,7 @@ import numpy as np
 from ..problem import OptimalControlProblem, SolverSettings
 
 FRAME = 6  # pos(2) vel(2) acc(2)
+CONTROL_SLICE = slice(4, 6)  # control entries within one frame
 
 
 def make_config(
@@ -46,7 +47,7 @@ def make_config(
             {
                 "name": "pos",
                 "size": 2,
-                "lower_bound": [".inf", ".inf"][:0] + ["-.inf", "-.inf"],
+                "lower_bound": ["-.inf", "-.inf"],
                 "upper_bound": [".inf", ".inf"],
             },
             {

@@ -18,6 +18,7 @@ import numpy as np
 from ..problem import OptimalControlProblem, SolverSettings
 
 FRAME = 16  # p(3) v(3) eul(3) om(3) u(4)
+CONTROL_SLICE = slice(12, 16)  # control entries within one frame
 
 MASS = 1.0
 G = 9.81

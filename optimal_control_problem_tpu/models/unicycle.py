@@ -16,6 +16,7 @@ import numpy as np
 from ..problem import OptimalControlProblem, SolverSettings
 
 FRAME = 5  # x y th v om
+CONTROL_SLICE = slice(3, 5)  # control entries within one frame
 
 
 def make_config(

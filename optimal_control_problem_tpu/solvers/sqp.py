@@ -703,6 +703,16 @@ class SQPOptimizationSolver:
             print(f"  x = {np.asarray(res.x)}")
         return {"x": res.x, "f": res.f}
 
+    def set_iterate(self, x) -> None:
+        """Seed the persistent iterate (``result_``) — e.g. a shifted
+        previous plan for receding-horizon warm starting (controller.py)."""
+        import numpy as _np
+
+        x = jnp.asarray(_np.asarray(x).reshape(-1), self.dtype)
+        if x.shape[0] != self.n_x:
+            raise ValueError(f"iterate must have size {self.n_x}")
+        self._result_x = x
+
     def reset(self) -> None:
         """Clear the persistent iterate back to zeros (fresh ``result_``)."""
         self._result_x = jnp.zeros((self.n_x,), self.dtype)
