@@ -264,3 +264,27 @@ def cr_solve(fac: CRFactor, b: jnp.ndarray) -> jnp.ndarray:
         x = x.at[1::2].set(x_odd)
 
     return x[:n_orig]
+
+
+@f32_matmuls
+def btd_solve_mat(fac: BTDFactor, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve M X = B with block rhs.  ``B``: (N, w, k) -> (N, w, k)."""
+    dinv, g, _ = fac
+
+    def fwd(y_prev, inputs):
+        b_k, g_k = inputs
+        y_k = b_k - g_k @ y_prev
+        return y_k, y_k
+
+    y0 = B[0]
+    _, y_rest = jax.lax.scan(fwd, y0, (B[1:], g))
+    y = jnp.concatenate([y0[None], y_rest], axis=0)
+
+    def bwd(x_next, inputs):
+        y_k, dinv_k, g_k1 = inputs
+        x_k = dinv_k @ y_k - g_k1.T @ x_next
+        return x_k, x_k
+
+    x_last = dinv[-1] @ y[-1]
+    _, x_rest = jax.lax.scan(bwd, x_last, (y[:-1], dinv[:-1], g), reverse=True)
+    return jnp.concatenate([x_rest, x_last[None]], axis=0)

@@ -1,5 +1,6 @@
 from .batch import BatchedSolver, BatchState
 from .dist import DistributedSolver, consensus_mean
+from .horizon import horizon_sharded_solve
 from .mesh import (
     batch_sharding,
     initialize_distributed,
@@ -12,6 +13,7 @@ __all__ = [
     "BatchState",
     "DistributedSolver",
     "consensus_mean",
+    "horizon_sharded_solve",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
