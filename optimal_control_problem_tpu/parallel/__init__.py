@@ -1,6 +1,7 @@
 from .batch import BatchedSolver, BatchState
 from .dist import DistributedSolver, consensus_mean
 from .horizon import horizon_sharded_solve
+from .seq_admm import ShardedBandedQP, admm_solve_seq_parallel
 from .mesh import (
     batch_sharding,
     initialize_distributed,
@@ -14,6 +15,8 @@ __all__ = [
     "DistributedSolver",
     "consensus_mean",
     "horizon_sharded_solve",
+    "ShardedBandedQP",
+    "admm_solve_seq_parallel",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

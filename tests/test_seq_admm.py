@@ -1,0 +1,105 @@
+"""Sequence-parallel (horizon-sharded) ADMM vs the single-device banded path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimal_control_problem_tpu.parallel import make_mesh
+from optimal_control_problem_tpu.parallel.seq_admm import (
+    ShardedBandedQP,
+    admm_solve_seq_parallel,
+)
+from optimal_control_problem_tpu.solvers.admm import ADMMSettings
+from optimal_control_problem_tpu.solvers.admm_banded import (
+    BandedQP,
+    admm_solve_banded,
+)
+
+SET = ADMMSettings(
+    eps_abs=1e-4,
+    eps_rel=1e-4,
+    method="condensed",
+    scaling_iters=0,
+    adaptive_rho=False,  # the sharded path uses a fixed rho
+    rho=0.05,
+)
+
+
+def random_stage_qp(seed, N, w, r, r2):
+    rng = np.random.default_rng(seed)
+    Hb = np.stack(
+        [
+            (lambda L: L @ L.T + 2 * np.eye(w))(rng.normal(size=(w, w)))
+            for _ in range(N)
+        ]
+    ).astype(np.float32)
+    J0 = (0.5 * rng.normal(size=(N - 1, r, w))).astype(np.float32)
+    J1 = (0.5 * rng.normal(size=(N - 1, r, w))).astype(np.float32)
+    Jc = (0.5 * rng.normal(size=(N, r2, w))).astype(np.float32)
+    q = rng.normal(size=N * w).astype(np.float32)
+    l = np.concatenate(
+        [np.full(N * w, -2.0), np.zeros((N - 1) * r), np.full(N * r2, -1.0)]
+    ).astype(np.float32)
+    u = np.concatenate(
+        [np.full(N * w, 2.0), np.zeros((N - 1) * r), np.full(N * r2, np.inf)]
+    ).astype(np.float32)
+    return BandedQP(
+        Hb=jnp.asarray(Hb),
+        J0=jnp.asarray(J0),
+        J1=jnp.asarray(J1),
+        Jc=jnp.asarray(Jc),
+        q=jnp.asarray(q),
+        l=jnp.asarray(l),
+        u=jnp.asarray(u),
+    )
+
+
+def to_sharded(qp: BandedQP) -> ShardedBandedQP:
+    """Re-layout a flat BandedQP into the per-stage sharded form."""
+    N, w, _ = qp.Hb.shape
+    r = qp.J0.shape[1]
+    r2 = qp.Jc.shape[1]
+    n = N * w
+    pad = lambda J: jnp.concatenate(
+        [J, jnp.zeros((1,) + J.shape[1:], J.dtype)], axis=0
+    )
+    l, u = qp.l, qp.u
+    ld = l[n : n + (N - 1) * r].reshape(N - 1, r)
+    ud = u[n : n + (N - 1) * r].reshape(N - 1, r)
+    zrow = jnp.zeros((1, r), l.dtype)
+    return ShardedBandedQP(
+        Hb=qp.Hb,
+        J0=pad(qp.J0),
+        J1=pad(qp.J1),
+        Jc=qp.Jc,
+        q=qp.q.reshape(N, w),
+        lx=l[:n].reshape(N, w),
+        ux=u[:n].reshape(N, w),
+        ld=jnp.concatenate([ld, zrow], axis=0),
+        ud=jnp.concatenate([ud, zrow], axis=0),
+        lc=l[n + (N - 1) * r :].reshape(N, r2),
+        uc=u[n + (N - 1) * r :].reshape(N, r2),
+    )
+
+
+@pytest.mark.parametrize("seed,N,w,r,r2", [(0, 16, 4, 3, 1), (1, 32, 3, 2, 1)])
+def test_seq_parallel_matches_single_device(seed, N, w, r, r2):
+    mesh = make_mesh(("h",))
+    qp = random_stage_qp(seed, N, w, r, r2)
+    ref = admm_solve_banded(qp, SET)
+    assert bool(ref.converged)
+    x, iters, done = admm_solve_seq_parallel(
+        to_sharded(qp), SET, mesh=mesh, axis="h"
+    )
+    assert bool(done)
+    np.testing.assert_allclose(
+        np.asarray(x).reshape(-1), np.asarray(ref.x), atol=5e-3
+    )
+
+
+def test_seq_parallel_rejects_bad_split():
+    mesh = make_mesh(("h",))
+    qp = random_stage_qp(2, 12, 3, 2, 1)  # 12 not divisible by 8
+    with pytest.raises(ValueError, match="split"):
+        admm_solve_seq_parallel(to_sharded(qp), SET, mesh=mesh, axis="h")
