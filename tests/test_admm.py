@@ -212,3 +212,13 @@ def test_polish_improves_accuracy(seed):
     err_pol = np.abs(np.asarray(polished.x) - x_ref).max()
     assert err_pol <= max(err_plain, 1e-4)
     np.testing.assert_allclose(polished.x, x_ref, atol=5e-4)
+
+
+def test_unconstrained_qp_m0():
+    """m = 0 (no constraint rows at all) must solve to the stationary point."""
+    P = np.diag([2.0, 4.0])
+    q = np.array([-2.0, -8.0])
+    A = np.zeros((0, 2))
+    sol = run(P, q, A, np.zeros(0), np.zeros(0))
+    assert bool(sol.converged)
+    np.testing.assert_allclose(sol.x, [1.0, 2.0], atol=1e-3)
