@@ -2,6 +2,7 @@ from .batch import BatchedSolver, BatchState
 from .dist import DistributedSolver, consensus_mean
 from .horizon import horizon_sharded_solve
 from .seq_admm import ShardedBandedQP, admm_solve_seq_parallel
+from .seq_sqp import sqp_solve_seq_parallel
 from .mesh import (
     batch_sharding,
     initialize_distributed,
@@ -17,6 +18,7 @@ __all__ = [
     "horizon_sharded_solve",
     "ShardedBandedQP",
     "admm_solve_seq_parallel",
+    "sqp_solve_seq_parallel",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

@@ -65,6 +65,216 @@ def _rho_of(l, u, rho, dtype):
     return jnp.where(loose, _RHO_MIN, r)
 
 
+
+
+def seq_admm_local(
+    Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc, *, settings, axis, D
+):
+    """The per-device ADMM computation; call INSIDE a shard_map over
+    ``axis`` (directly, or via :func:`admm_solve_seq_parallel`).  All
+    arguments are local shards (leading dim C = stages per device)."""
+    st = settings
+    dtype = Hb.dtype
+    C, w, _ = Hb.shape
+    r = J0.shape[1]
+    r2 = Jc.shape[1]
+
+    def right_shift(t):
+        """Row from the LEFT neighbor's last stage (device d-1 -> d)."""
+        return jax.lax.ppermute(t, axis, [(i, (i + 1) % D) for i in range(D)])
+
+    def left_shift(t):
+        """Row from the RIGHT neighbor's first stage (device d+1 -> d)."""
+        return jax.lax.ppermute(t, axis, [(i, (i - 1) % D) for i in range(D)])
+
+    d = jax.lax.axis_index(axis)
+    is_first = d == 0
+    is_last = d == D - 1
+    sigma = jnp.asarray(st.sigma, dtype)
+    alpha = jnp.asarray(st.alpha, dtype)
+
+    rho_x = _rho_of(lx, ux, jnp.asarray(st.rho, dtype), dtype)  # (C, w)
+    rho_d = _rho_of(ld, ud, jnp.asarray(st.rho, dtype), dtype)  # (C, r)
+    rho_c = _rho_of(lc, uc, jnp.asarray(st.rho, dtype), dtype)  # (C, r2)
+    # Row C-1 of the dynamics block on the last device is padding.
+    last_mask = jnp.logical_and(is_last, True)
+    dyn_valid = jnp.ones((C, 1), dtype)
+    dyn_valid = jnp.where(
+        jnp.logical_and(last_mask, jnp.arange(C)[:, None] == C - 1),
+        0.0,
+        dyn_valid,
+    )
+    rho_d = rho_d * dyn_valid + (1 - dyn_valid) * _RHO_MIN
+
+    # Neighbor rows needed for M assembly and A^T application.
+    J0_prev = right_shift(J0[-1])  # left neighbor's last dyn row
+    J1_prev = right_shift(J1[-1])
+    rho_d_prev = right_shift(rho_d[-1])
+
+    # ---- M = P + sigma I + A^T R A, block-tridiagonal, local chunk ----
+    diag = Hb + sigma * jnp.eye(w, dtype=dtype)[None] + jax.vmap(jnp.diag)(rho_x)
+    if r:
+        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_d, J0, J0)
+        # contribution of residual row k-1 through J1 on stage k:
+        J1_sh = jnp.concatenate([J1_prev[None], J1[:-1]], axis=0)
+        rho_sh = jnp.concatenate([rho_d_prev[None], rho_d[:-1]], axis=0)
+        J1_sh = J1_sh.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
+        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J1_sh)
+        # subdiagonal L_k = J1_{k-1}^T R J0_{k-1}; local row k holds L_k.
+        J0_sh = jnp.concatenate([J0_prev[None], J0[:-1]], axis=0)
+        lower = jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J0_sh)
+        lower = lower.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
+    else:
+        lower = jnp.zeros((C, w, w), dtype)
+    if r2:
+        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_c, Jc, Jc)
+
+    # ---- SPIKE factorization (once) ----
+    fac = btd_factor(diag, lower[1:])
+    L0 = jnp.where(is_first, jnp.zeros((w, w), dtype), lower[0])
+    BL = jnp.zeros((C, w, w), dtype).at[0].set(L0)
+    next_L = left_shift(lower[0])
+    Ln = jnp.where(is_last, jnp.zeros((w, w), dtype), next_L)
+    BR = jnp.zeros((C, w, w), dtype).at[-1].set(Ln.T)
+    WL = btd_solve_mat(fac, BL)
+    WR = btd_solve_mat(fac, BR)
+    g = lambda t: jax.lax.all_gather(t, axis)
+    WL0, WL1 = g(WL[0]), g(WL[-1])
+    WR0, WR1 = g(WR[0]), g(WR[-1])
+    nred = 2 * D * w
+    K = jnp.eye(nred, dtype=dtype)
+    for dd in range(D):
+        rf = 2 * dd * w
+        rl = rf + w
+        if dd > 0:
+            cl = (2 * (dd - 1) + 1) * w
+            K = K.at[rf : rf + w, cl : cl + w].add(WL0[dd])
+            K = K.at[rl : rl + w, cl : cl + w].add(WL1[dd])
+        if dd < D - 1:
+            cf = 2 * (dd + 1) * w
+            K = K.at[rf : rf + w, cf : cf + w].add(WR0[dd])
+            K = K.at[rl : rl + w, cf : cf + w].add(WR1[dd])
+    Kinv = jnp.linalg.inv(K)
+
+    def spike_solve(rhs):
+        v = btd_solve(fac, rhs)
+        v0, v1 = g(v[0]), g(v[-1])
+        rred = jnp.stack([v0, v1], axis=1).reshape(nred)
+        u = Kinv @ rred
+        l_prev = jax.lax.dynamic_slice(u, ((2 * ((d - 1) % D) + 1) * w,), (w,))
+        l_prev = jnp.where(is_first, jnp.zeros((w,), dtype), l_prev)
+        f_next = jax.lax.dynamic_slice(u, ((2 * ((d + 1) % D)) * w,), (w,))
+        f_next = jnp.where(is_last, jnp.zeros((w,), dtype), f_next)
+        return (
+            v
+            - jnp.einsum("kij,j->ki", WL, l_prev)
+            - jnp.einsum("kij,j->ki", WR, f_next)
+        )
+
+    # ---- A / A^T with boundary exchanges ----
+    def apply_A(x):
+        ax_x = x
+        if r:
+            x_next_first = left_shift(x[0])
+            x_next = jnp.concatenate([x[1:], x_next_first[None]], axis=0)
+            x_next = x_next.at[-1].multiply(jnp.where(is_last, 0.0, 1.0))
+            ax_d = jnp.einsum("krw,kw->kr", J0, x) + jnp.einsum(
+                "krw,kw->kr", J1, x_next
+            )
+            ax_d = ax_d * dyn_valid
+        else:
+            ax_d = jnp.zeros((C, 0), dtype)
+        ax_c = jnp.einsum("krw,kw->kr", Jc, x) if r2 else jnp.zeros((C, 0), dtype)
+        return ax_x, ax_d, ax_c
+
+    def apply_AT(tx, td, tc):
+        out = tx
+        if r:
+            out = out + jnp.einsum("krw,kr->kw", J0, td)
+            td_prev = right_shift(td[-1])
+            td_sh = jnp.concatenate([td_prev[None], td[:-1]], axis=0)
+            td_sh = td_sh.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
+            J1_sh_ = jnp.concatenate([J1_prev[None], J1[:-1]], axis=0)
+            out = out + jnp.einsum("krw,kr->kw", J1_sh_, td_sh)
+        if r2:
+            out = out + jnp.einsum("krw,kr->kw", Jc, tc)
+        return out
+
+    # ---- ADMM loop (sharded state) ----
+    # Freshly-created zeros are "unvarying" under shard_map's value
+    # typing; mark them device-varying so the scan carry types match.
+    def zero(shape):
+        return jax.lax.pcast(jnp.zeros(shape, dtype), (axis,), to="varying")
+
+    x = zero((C, w))
+    zx, zd, zc = apply_A(x)
+    zx = jnp.clip(zx, lx, ux)
+    zd = jnp.clip(zd, ld, ud) * dyn_valid
+    zc = jnp.clip(zc, lc, uc)
+    yx, yd, yc = zero((C, w)), zero((C, r)), zero((C, r2))
+
+    def one_iter(carry, _):
+        x, zx, zd, zc, yx, yd, yc = carry
+        rhs = sigma * x - q + apply_AT(
+            rho_x * zx - yx, rho_d * zd - yd, rho_c * zc - yc
+        )
+        xt = spike_solve(rhs)
+        ztx, ztd, ztc = apply_A(xt)
+        x_new = alpha * xt + (1 - alpha) * x
+
+        def upd(zt, z, y, rho, lo, hi):
+            z_rel = alpha * zt + (1 - alpha) * z
+            z_new = jnp.clip(z_rel + y / rho, lo, hi)
+            y_new = y + rho * (z_rel - z_new)
+            return z_new, y_new
+
+        zx_n, yx_n = upd(ztx, zx, yx, rho_x, lx, ux)
+        zd_n, yd_n = upd(ztd, zd, yd, rho_d, ld, ud)
+        zc_n, yc_n = upd(ztc, zc, yc, rho_c, lc, uc)
+        zd_n = zd_n * dyn_valid
+        yd_n = yd_n * dyn_valid
+        return (x_new, zx_n, zd_n, zc_n, yx_n, yd_n, yc_n), None
+
+    def residuals(x, zx, zd, zc, yx, yd, yc):
+        ax, ad, ac = apply_A(x)
+        px = jnp.einsum("kij,kj->ki", Hb, x)
+        aty = apply_AT(yx, yd, yc)
+        cat = lambda a, b, c: jnp.concatenate(
+            [a.reshape(-1), b.reshape(-1), c.reshape(-1)]
+        )
+        rp_loc = jnp.max(jnp.abs(cat(ax - zx, (ad - zd) * dyn_valid, ac - zc)))
+        rd_loc = jnp.max(jnp.abs(px + q + aty))
+        mp_loc = jnp.maximum(
+            jnp.max(jnp.abs(cat(ax, ad, ac))), jnp.max(jnp.abs(cat(zx, zd, zc)))
+        )
+        md_loc = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(aty)), jnp.max(jnp.abs(px))),
+            jnp.max(jnp.abs(q)),
+        )
+        pm = lambda t: jax.lax.pmax(t, axis)
+        r_prim, r_dual = pm(rp_loc), pm(rd_loc)
+        eps_pri = st.eps_abs + st.eps_rel * pm(mp_loc)
+        eps_dua = st.eps_abs + st.eps_rel * pm(md_loc)
+        return jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+
+    def cond_fn(state):
+        it, carry, done = state
+        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+
+    def body_fn(state):
+        it, carry, done = state
+        carry, _ = jax.lax.scan(one_iter, carry, None, length=st.check_every)
+        done = residuals(*carry)
+        return it + st.check_every, carry, done
+
+    carry0 = (x, zx, zd, zc, yx, yd, yc)
+    it, carry, done = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0, jnp.asarray(False))
+    )
+    x = carry[0]
+    return x, jnp.full((C,), it, jnp.int32), jnp.full((C,), done)
+
+
 def admm_solve_seq_parallel(
     qp: ShardedBandedQP,
     settings: ADMMSettings,
@@ -85,203 +295,14 @@ def admm_solve_seq_parallel(
     if C * D != N or C < 2:
         raise ValueError(f"horizon {N} must split into >=2 stages per device over {D}")
     st = settings
-    dtype = qp.Hb.dtype
 
-    def right_shift(t):
-        """Row from the LEFT neighbor's last stage (device d-1 -> d)."""
-        return jax.lax.ppermute(t, axis, [(i, (i + 1) % D) for i in range(D)])
-
-    def left_shift(t):
-        """Row from the RIGHT neighbor's first stage (device d+1 -> d)."""
-        return jax.lax.ppermute(t, axis, [(i, (i - 1) % D) for i in range(D)])
+    st = settings
 
     def body(Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc):
-        d = jax.lax.axis_index(axis)
-        is_first = d == 0
-        is_last = d == D - 1
-        sigma = jnp.asarray(st.sigma, dtype)
-        alpha = jnp.asarray(st.alpha, dtype)
-
-        rho_x = _rho_of(lx, ux, jnp.asarray(st.rho, dtype), dtype)  # (C, w)
-        rho_d = _rho_of(ld, ud, jnp.asarray(st.rho, dtype), dtype)  # (C, r)
-        rho_c = _rho_of(lc, uc, jnp.asarray(st.rho, dtype), dtype)  # (C, r2)
-        # Row C-1 of the dynamics block on the last device is padding.
-        last_mask = jnp.logical_and(is_last, True)
-        dyn_valid = jnp.ones((C, 1), dtype)
-        dyn_valid = jnp.where(
-            jnp.logical_and(last_mask, jnp.arange(C)[:, None] == C - 1),
-            0.0,
-            dyn_valid,
+        return seq_admm_local(
+            Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc,
+            settings=st, axis=axis, D=D,
         )
-        rho_d = rho_d * dyn_valid + (1 - dyn_valid) * _RHO_MIN
-
-        # Neighbor rows needed for M assembly and A^T application.
-        J0_prev = right_shift(J0[-1])  # left neighbor's last dyn row
-        J1_prev = right_shift(J1[-1])
-        rho_d_prev = right_shift(rho_d[-1])
-
-        # ---- M = P + sigma I + A^T R A, block-tridiagonal, local chunk ----
-        diag = Hb + sigma * jnp.eye(w, dtype=dtype)[None] + jax.vmap(jnp.diag)(rho_x)
-        if r:
-            diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_d, J0, J0)
-            # contribution of residual row k-1 through J1 on stage k:
-            J1_sh = jnp.concatenate([J1_prev[None], J1[:-1]], axis=0)
-            rho_sh = jnp.concatenate([rho_d_prev[None], rho_d[:-1]], axis=0)
-            J1_sh = J1_sh.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
-            diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J1_sh)
-            # subdiagonal L_k = J1_{k-1}^T R J0_{k-1}; local row k holds L_k.
-            J0_sh = jnp.concatenate([J0_prev[None], J0[:-1]], axis=0)
-            lower = jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J0_sh)
-            lower = lower.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
-        else:
-            lower = jnp.zeros((C, w, w), dtype)
-        if r2:
-            diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_c, Jc, Jc)
-
-        # ---- SPIKE factorization (once) ----
-        fac = btd_factor(diag, lower[1:])
-        L0 = jnp.where(is_first, jnp.zeros((w, w), dtype), lower[0])
-        BL = jnp.zeros((C, w, w), dtype).at[0].set(L0)
-        next_L = left_shift(lower[0])
-        Ln = jnp.where(is_last, jnp.zeros((w, w), dtype), next_L)
-        BR = jnp.zeros((C, w, w), dtype).at[-1].set(Ln.T)
-        WL = btd_solve_mat(fac, BL)
-        WR = btd_solve_mat(fac, BR)
-        g = lambda t: jax.lax.all_gather(t, axis)
-        WL0, WL1 = g(WL[0]), g(WL[-1])
-        WR0, WR1 = g(WR[0]), g(WR[-1])
-        nred = 2 * D * w
-        K = jnp.eye(nred, dtype=dtype)
-        for dd in range(D):
-            rf = 2 * dd * w
-            rl = rf + w
-            if dd > 0:
-                cl = (2 * (dd - 1) + 1) * w
-                K = K.at[rf : rf + w, cl : cl + w].add(WL0[dd])
-                K = K.at[rl : rl + w, cl : cl + w].add(WL1[dd])
-            if dd < D - 1:
-                cf = 2 * (dd + 1) * w
-                K = K.at[rf : rf + w, cf : cf + w].add(WR0[dd])
-                K = K.at[rl : rl + w, cf : cf + w].add(WR1[dd])
-        Kinv = jnp.linalg.inv(K)
-
-        def spike_solve(rhs):
-            v = btd_solve(fac, rhs)
-            v0, v1 = g(v[0]), g(v[-1])
-            rred = jnp.stack([v0, v1], axis=1).reshape(nred)
-            u = Kinv @ rred
-            l_prev = jax.lax.dynamic_slice(u, ((2 * ((d - 1) % D) + 1) * w,), (w,))
-            l_prev = jnp.where(is_first, jnp.zeros((w,), dtype), l_prev)
-            f_next = jax.lax.dynamic_slice(u, ((2 * ((d + 1) % D)) * w,), (w,))
-            f_next = jnp.where(is_last, jnp.zeros((w,), dtype), f_next)
-            return (
-                v
-                - jnp.einsum("kij,j->ki", WL, l_prev)
-                - jnp.einsum("kij,j->ki", WR, f_next)
-            )
-
-        # ---- A / A^T with boundary exchanges ----
-        def apply_A(x):
-            ax_x = x
-            if r:
-                x_next_first = left_shift(x[0])
-                x_next = jnp.concatenate([x[1:], x_next_first[None]], axis=0)
-                x_next = x_next.at[-1].multiply(jnp.where(is_last, 0.0, 1.0))
-                ax_d = jnp.einsum("krw,kw->kr", J0, x) + jnp.einsum(
-                    "krw,kw->kr", J1, x_next
-                )
-                ax_d = ax_d * dyn_valid
-            else:
-                ax_d = jnp.zeros((C, 0), dtype)
-            ax_c = jnp.einsum("krw,kw->kr", Jc, x) if r2 else jnp.zeros((C, 0), dtype)
-            return ax_x, ax_d, ax_c
-
-        def apply_AT(tx, td, tc):
-            out = tx
-            if r:
-                out = out + jnp.einsum("krw,kr->kw", J0, td)
-                td_prev = right_shift(td[-1])
-                td_sh = jnp.concatenate([td_prev[None], td[:-1]], axis=0)
-                td_sh = td_sh.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
-                J1_sh_ = jnp.concatenate([J1_prev[None], J1[:-1]], axis=0)
-                out = out + jnp.einsum("krw,kr->kw", J1_sh_, td_sh)
-            if r2:
-                out = out + jnp.einsum("krw,kr->kw", Jc, tc)
-            return out
-
-        # ---- ADMM loop (sharded state) ----
-        # Freshly-created zeros are "unvarying" under shard_map's value
-        # typing; mark them device-varying so the scan carry types match.
-        def zero(shape):
-            return jax.lax.pcast(jnp.zeros(shape, dtype), (axis,), to="varying")
-
-        x = zero((C, w))
-        zx, zd, zc = apply_A(x)
-        zx = jnp.clip(zx, lx, ux)
-        zd = jnp.clip(zd, ld, ud) * dyn_valid
-        zc = jnp.clip(zc, lc, uc)
-        yx, yd, yc = zero((C, w)), zero((C, r)), zero((C, r2))
-
-        def one_iter(carry, _):
-            x, zx, zd, zc, yx, yd, yc = carry
-            rhs = sigma * x - q + apply_AT(
-                rho_x * zx - yx, rho_d * zd - yd, rho_c * zc - yc
-            )
-            xt = spike_solve(rhs)
-            ztx, ztd, ztc = apply_A(xt)
-            x_new = alpha * xt + (1 - alpha) * x
-
-            def upd(zt, z, y, rho, lo, hi):
-                z_rel = alpha * zt + (1 - alpha) * z
-                z_new = jnp.clip(z_rel + y / rho, lo, hi)
-                y_new = y + rho * (z_rel - z_new)
-                return z_new, y_new
-
-            zx_n, yx_n = upd(ztx, zx, yx, rho_x, lx, ux)
-            zd_n, yd_n = upd(ztd, zd, yd, rho_d, ld, ud)
-            zc_n, yc_n = upd(ztc, zc, yc, rho_c, lc, uc)
-            zd_n = zd_n * dyn_valid
-            yd_n = yd_n * dyn_valid
-            return (x_new, zx_n, zd_n, zc_n, yx_n, yd_n, yc_n), None
-
-        def residuals(x, zx, zd, zc, yx, yd, yc):
-            ax, ad, ac = apply_A(x)
-            px = jnp.einsum("kij,kj->ki", Hb, x)
-            aty = apply_AT(yx, yd, yc)
-            cat = lambda a, b, c: jnp.concatenate(
-                [a.reshape(-1), b.reshape(-1), c.reshape(-1)]
-            )
-            rp_loc = jnp.max(jnp.abs(cat(ax - zx, (ad - zd) * dyn_valid, ac - zc)))
-            rd_loc = jnp.max(jnp.abs(px + q + aty))
-            mp_loc = jnp.maximum(
-                jnp.max(jnp.abs(cat(ax, ad, ac))), jnp.max(jnp.abs(cat(zx, zd, zc)))
-            )
-            md_loc = jnp.maximum(
-                jnp.maximum(jnp.max(jnp.abs(aty)), jnp.max(jnp.abs(px))),
-                jnp.max(jnp.abs(q)),
-            )
-            pm = lambda t: jax.lax.pmax(t, axis)
-            r_prim, r_dual = pm(rp_loc), pm(rd_loc)
-            eps_pri = st.eps_abs + st.eps_rel * pm(mp_loc)
-            eps_dua = st.eps_abs + st.eps_rel * pm(md_loc)
-            return jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
-
-        def cond_fn(state):
-            it, carry, done = state
-            return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
-
-        def body_fn(state):
-            it, carry, done = state
-            carry, _ = jax.lax.scan(one_iter, carry, None, length=st.check_every)
-            done = residuals(*carry)
-            return it + st.check_every, carry, done
-
-        carry0 = (x, zx, zd, zc, yx, yd, yc)
-        it, carry, done = jax.lax.while_loop(
-            cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0, jnp.asarray(False))
-        )
-        x = carry[0]
-        return x, jnp.full((C,), it, jnp.int32), jnp.full((C,), done)
 
     shard = NamedSharding(mesh, P(axis))
     args = [jax.device_put(a, shard) for a in qp]

@@ -1,0 +1,173 @@
+"""End-to-end sequence-parallel SQP: derivative evaluation AND the QP solve
+with the horizon sharded across the mesh.
+
+Each device owns ``C = N / D`` stages of the trajectory.  Per SQP iteration,
+entirely inside one ``shard_map`` program:
+
+* stage-block derivatives (Hessian / dynamics Jacobians / stage-constraint
+  Jacobians) are computed locally by ``vmap`` over the device's stages —
+  one ``ppermute`` fetches the boundary frame from the right neighbor for
+  the dynamics pairs;
+* the local QP is solved by :func:`.seq_admm.seq_admm_local` (SPIKE
+  factorization + sharded ADMM);
+* the damped update ``x += alpha * dx`` is local.
+
+This scales MPC horizons across chips the way context parallelism scales
+sequence length (SURVEY.md sections 2, 5) — nothing global is ever
+materialized.
+
+Scope (v1): reduced formulation, fixed rho, no cross-iteration QP warm
+start (affects iteration counts, not solutions).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solvers.admm import ADMMSettings, f32_matmuls
+from ..stagewise import StageStructure
+from .seq_admm import seq_admm_local
+
+__all__ = ["sqp_solve_seq_parallel"]
+
+
+def sqp_solve_seq_parallel(
+    ss: StageStructure,
+    x0: jnp.ndarray,  # (N, w) initial trajectory (frames)
+    ref: jnp.ndarray,  # (N, ref_dim) per-stage references
+    lx: jnp.ndarray,  # (N, w) box bounds (first frame pre-pinned by caller)
+    ux: jnp.ndarray,
+    *,
+    sqp_iters: int,
+    alpha: float,
+    admm: ADMMSettings,
+    mesh: Mesh,
+    axis: str = "h",
+    hessian_reg: float = 1e-6,
+):
+    """Run ``sqp_iters`` damped SQP iterations with everything sharded over
+    ``mesh[axis]``.  Returns the final trajectory (N, w)."""
+    N, w = x0.shape
+    D = mesh.shape[axis]
+    C = N // D
+    if C * D != N or C < 2:
+        raise ValueError(f"horizon {N} must split into >=2 stages per device over {D}")
+    if ss.ref_frame_size <= 0:
+        raise ValueError("sequence-parallel SQP requires per-stage references")
+    r = ss.dynamics_size if ss.dynamics is not None else 0
+    r2 = (
+        len(jnp.atleast_1d(jnp.asarray(ss.stage_constraints[1])))
+        if ss.stage_constraints is not None
+        else 0
+    )
+    dtype = x0.dtype
+
+    stage_hess = jax.vmap(jax.hessian(ss.stage_cost))
+    stage_grad = jax.vmap(jax.grad(ss.stage_cost))
+    if ss.dynamics is not None:
+        dyn_val = jax.vmap(ss.dynamics)
+        dyn_j0 = jax.vmap(jax.jacfwd(ss.dynamics, argnums=0))
+        dyn_j1 = jax.vmap(jax.jacfwd(ss.dynamics, argnums=1))
+    if ss.stage_constraints is not None:
+        sc_fn, sc_lb, sc_ub = ss.stage_constraints
+        sc_val = jax.vmap(sc_fn)
+        sc_jac = jax.vmap(jax.jacfwd(sc_fn, argnums=0))
+        sc_lb = jnp.atleast_1d(jnp.asarray(sc_lb, dtype))
+        sc_ub = jnp.atleast_1d(jnp.asarray(sc_ub, dtype))
+
+    def body(x_l, ref_l, lx_l, ux_l):
+        d = jax.lax.axis_index(axis)
+        is_last = d == D - 1
+        ks = d * C + jnp.arange(C)
+
+        def left_shift(t):
+            return jax.lax.ppermute(
+                t, axis, [(i, (i - 1) % D) for i in range(D)]
+            )
+
+        def sqp_iter(x_l, _):
+            frames = x_l
+            Hb = stage_hess(frames, ref_l, ks)
+            # Gershgorin convexification per block.
+            sym = 0.5 * (Hb + jnp.swapaxes(Hb, -1, -2))
+            diag_b = jnp.diagonal(sym, axis1=-2, axis2=-1)
+            offsum = jnp.sum(jnp.abs(sym), axis=-1) - jnp.abs(diag_b)
+            bound = jnp.min(diag_b - offsum, axis=-1)
+            shift = jnp.maximum(jnp.asarray(0.0, dtype), hessian_reg - bound)
+            Hb = Hb + shift[:, None, None] * jnp.eye(w, dtype=dtype)
+            grad = stage_grad(frames, ref_l, ks)
+
+            # Dynamics pairs (k, k+1): boundary frame from right neighbor.
+            nxt_first = left_shift(frames[0])
+            frames_next = jnp.concatenate([frames[1:], nxt_first[None]], 0)
+            if r:
+                J0 = dyn_j0(frames, frames_next)
+                J1 = dyn_j1(frames, frames_next)
+                dynres = dyn_val(frames, frames_next)
+                # Global row N-1 is padding.
+                valid = jnp.where(
+                    jnp.logical_and(is_last, jnp.arange(C)[:, None] == C - 1),
+                    0.0,
+                    1.0,
+                )
+                J0 = J0 * valid[..., None]
+                J1 = J1 * valid[..., None]
+                dynres = dynres * valid
+                ld = -dynres
+                ud = -dynres
+            else:
+                J0 = jnp.zeros((C, 0, w), dtype)
+                J1 = jnp.zeros((C, 0, w), dtype)
+                ld = jnp.zeros((C, 0), dtype)
+                ud = jnp.zeros((C, 0), dtype)
+            if r2:
+                Jc = sc_jac(frames, ref_l, ks)
+                scv = sc_val(frames, ref_l, ks)
+                lc = sc_lb[None, :] - scv
+                uc = sc_ub[None, :] - scv
+            else:
+                Jc = jnp.zeros((C, 0, w), dtype)
+                lc = jnp.zeros((C, 0), dtype)
+                uc = jnp.zeros((C, 0), dtype)
+
+            dx, it, done = seq_admm_local(
+                Hb,
+                J0,
+                J1,
+                Jc,
+                grad,
+                lx_l - frames,
+                ux_l - frames,
+                ld,
+                ud,
+                lc,
+                uc,
+                settings=admm,
+                axis=axis,
+                D=D,
+            )
+            return x_l + alpha * dx, it[0]
+
+        x_l, its = jax.lax.scan(sqp_iter, x_l, None, length=sqp_iters)
+        # its is replicated (computed from collectives); emit per-device and
+        # let the host read one copy.
+        return x_l, its[None]
+
+    shard = NamedSharding(mesh, P(axis))
+    put = lambda a: jax.device_put(a, shard)
+    solve = jax.jit(
+        f32_matmuls(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis)),
+            )
+        )
+    )
+    x, its = solve(put(x0), put(ref), put(lx), put(ux))
+    return x, its.reshape(D, -1)[0]

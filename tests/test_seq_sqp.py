@@ -1,0 +1,103 @@
+"""End-to-end sequence-parallel SQP vs the single-device banded SQP."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimal_control_problem_tpu.models import cartpole
+from optimal_control_problem_tpu.parallel import make_mesh
+from optimal_control_problem_tpu.parallel.seq_sqp import sqp_solve_seq_parallel
+from optimal_control_problem_tpu.solvers.admm import ADMMSettings
+
+H, DT = 16, 0.04
+ADMM = ADMMSettings(
+    eps_abs=1e-4, eps_rel=1e-4, adaptive_rho=False, rho=0.05, max_iter=2000
+)
+SQP_ITERS, ALPHA = 6, 0.3
+
+
+def problem():
+    # Cart-pole stage structure with per-stage references (required by the
+    # sharded path): broadcast the target angle into a per-stage ref.
+    base = cartpole.stage_structure(H, DT)
+    import dataclasses
+
+    ss = dataclasses.replace(base, ref_frame_size=1)
+    cfg = cartpole.make_config(horizon=H, dt=DT)
+    from optimal_control_problem_tpu.config import OCPConfig
+
+    occ = OCPConfig(cfg)
+    lx = occ.lower_bounds_flat().reshape(H, cartpole.FRAME).astype(np.float32)
+    ux = occ.upper_bounds_flat().reshape(H, cartpole.FRAME).astype(np.float32)
+    frame = cartpole.initial_state(th=0.4).astype(np.float32)
+    lx[0] = frame
+    ux[0] = frame
+    ref = np.full((H, 1), np.pi, np.float32)
+    return ss, lx, ux, ref
+
+
+def single_device_reference(ss, lx, ux, ref):
+    """Same damped SQP with the single-device banded inner solver."""
+    from optimal_control_problem_tpu.solvers.admm_banded import (
+        BandedQP,
+        admm_solve_banded,
+    )
+    from optimal_control_problem_tpu.stagewise import build_stage_blocks
+
+    blocks = build_stage_blocks(ss, jnp.float32, "auto")
+    import jax
+
+    stage_grad = jax.vmap(jax.grad(ss.stage_cost))
+    dyn_val = jax.vmap(ss.dynamics)
+    sc_val = jax.vmap(ss.stage_constraints[0])
+    sc_lb = np.atleast_1d(ss.stage_constraints[1]).astype(np.float32)
+    sc_ub = np.atleast_1d(ss.stage_constraints[2]).astype(np.float32)
+    ks = jnp.arange(H)
+    x = jnp.zeros((H * cartpole.FRAME,), jnp.float32)
+    refs = jnp.asarray(ref)
+    for _ in range(SQP_ITERS):
+        frames = x.reshape(H, cartpole.FRAME)
+        Hb, J0, J1, Jc = blocks(x, refs.reshape(-1))
+        grad = stage_grad(frames, refs, ks).reshape(-1)
+        dynres = dyn_val(frames[:-1], frames[1:])
+        scv = sc_val(frames, refs, ks)
+        l = jnp.concatenate(
+            [
+                (jnp.asarray(lx) - frames).reshape(-1),
+                (-dynres).reshape(-1),
+                (sc_lb[None] - scv).reshape(-1),
+            ]
+        )
+        u = jnp.concatenate(
+            [
+                (jnp.asarray(ux) - frames).reshape(-1),
+                (-dynres).reshape(-1),
+                (sc_ub[None] - scv).reshape(-1),
+            ]
+        )
+        qp = BandedQP(Hb=Hb, J0=J0, J1=J1, Jc=Jc, q=grad, l=l, u=u)
+        sol = admm_solve_banded(qp, ADMM)
+        x = x + ALPHA * sol.x
+    return np.asarray(x).reshape(H, cartpole.FRAME)
+
+
+def test_seq_sqp_matches_single_device():
+    mesh = make_mesh(("h",))
+    ss, lx, ux, ref = problem()
+    x0 = np.zeros((H, cartpole.FRAME), np.float32)
+    x_seq, its = sqp_solve_seq_parallel(
+        ss,
+        jnp.asarray(x0),
+        jnp.asarray(ref),
+        jnp.asarray(lx),
+        jnp.asarray(ux),
+        sqp_iters=SQP_ITERS,
+        alpha=ALPHA,
+        admm=ADMM,
+        mesh=mesh,
+        axis="h",
+    )
+    assert its.shape == (SQP_ITERS,)
+    x_ref = single_device_reference(ss, lx, ux, ref)
+    assert np.isfinite(np.asarray(x_seq)).all()
+    np.testing.assert_allclose(np.asarray(x_seq), x_ref, atol=5e-3)
