@@ -201,17 +201,15 @@ def seq_admm_local(
         return out
 
     # ---- ADMM loop (sharded state) ----
-    # Freshly-created zeros are "unvarying" under shard_map's value
-    # typing; mark them device-varying so the scan carry types match.
-    def zero(shape):
-        return jax.lax.pcast(jnp.zeros(shape, dtype), (axis,), to="varying")
-
-    x = zero((C, w))
+    # Derive initial iterates from varying inputs (fresh zeros would be
+    # "unvarying" under shard_map's value typing — and must vary over every
+    # mesh axis the enclosing context uses, including a vmapped batch axis).
+    x = q * 0.0
     zx, zd, zc = apply_A(x)
     zx = jnp.clip(zx, lx, ux)
     zd = jnp.clip(zd, ld, ud) * dyn_valid
     zc = jnp.clip(zc, lc, uc)
-    yx, yd, yc = zero((C, w)), zero((C, r)), zero((C, r2))
+    yx, yd, yc = zx * 0.0, zd * 0.0, zc * 0.0
 
     def one_iter(carry, _):
         x, zx, zd, zc, yx, yd, yc = carry
@@ -268,8 +266,12 @@ def seq_admm_local(
         return it + st.check_every, carry, done
 
     carry0 = (x, zx, zd, zc, yx, yd, yc)
+    # Evaluate termination once up front: gives a correctly-typed initial
+    # flag (unvarying over the pmax axis, varying over any enclosing batch
+    # axes) and an immediate exit for already-converged warm starts.
+    done0 = residuals(*carry0)
     it, carry, done = jax.lax.while_loop(
-        cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0, jnp.asarray(False))
+        cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0, done0)
     )
     x = carry[0]
     return x, jnp.full((C,), it, jnp.int32), jnp.full((C,), done)

@@ -18,6 +18,12 @@ materialized.
 
 Scope (v1): reduced formulation, fixed rho, no cross-iteration QP warm
 start (affects iteration counts, not solutions).
+
+2-D meshes: pass ``batch_axis`` and batched ``(B, N, w)`` inputs to shard
+scenarios over one mesh axis and the horizon over another — the per-scenario
+computation (including its 'h'-axis collectives) is ``vmap``-ed over the
+local scenario shard, giving the full pod-slice layout
+``(scenario dp) x (horizon sp)``.
 """
 
 from __future__ import annotations
@@ -47,11 +53,16 @@ def sqp_solve_seq_parallel(
     admm: ADMMSettings,
     mesh: Mesh,
     axis: str = "h",
+    batch_axis: str | None = None,
     hessian_reg: float = 1e-6,
 ):
     """Run ``sqp_iters`` damped SQP iterations with everything sharded over
-    ``mesh[axis]``.  Returns the final trajectory (N, w)."""
-    N, w = x0.shape
+    ``mesh[axis]``.  Returns the final trajectory (N, w), or (B, N, w) when
+    ``batch_axis`` is given and inputs carry a leading scenario dim."""
+    if batch_axis is not None:
+        N, w = x0.shape[1:]
+    else:
+        N, w = x0.shape
     D = mesh.shape[axis]
     C = N // D
     if C * D != N or C < 2:
@@ -157,17 +168,33 @@ def sqp_solve_seq_parallel(
         # let the host read one copy.
         return x_l, its[None]
 
-    shard = NamedSharding(mesh, P(axis))
+    if batch_axis is None:
+        spec = P(axis)
+        fn = body
+        out_specs = (P(axis), P(axis))
+    else:
+        spec = P(batch_axis, axis)
+        out_specs = (P(batch_axis, axis), P(batch_axis, axis))
+
+        def fn(x_b, ref_b, lx_b, ux_b):
+            # vmap the per-scenario computation (its 'axis' collectives
+            # batch across the local scenario shard).
+            x_o, its_o = jax.vmap(body)(x_b, ref_b, lx_b, ux_b)
+            return x_o, its_o
+
+    shard = NamedSharding(mesh, spec)
     put = lambda a: jax.device_put(a, shard)
     solve = jax.jit(
         f32_matmuls(
             jax.shard_map(
-                body,
+                fn,
                 mesh=mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                out_specs=(P(axis), P(axis)),
+                in_specs=(spec, spec, spec, spec),
+                out_specs=out_specs,
             )
         )
     )
     x, its = solve(put(x0), put(ref), put(lx), put(ux))
-    return x, its.reshape(D, -1)[0]
+    if batch_axis is None:
+        return x, its.reshape(D, -1)[0]
+    return x, its[0].reshape(D, -1)[0]

@@ -101,3 +101,58 @@ def test_seq_sqp_matches_single_device():
     x_ref = single_device_reference(ss, lx, ux, ref)
     assert np.isfinite(np.asarray(x_seq)).all()
     np.testing.assert_allclose(np.asarray(x_seq), x_ref, atol=5e-3)
+
+
+def test_seq_sqp_2d_mesh_batch_by_horizon():
+    """Scenarios x horizon on a 2-D (2, 4) mesh: each scenario's result must
+    match its own 1-D horizon-sharded solve."""
+    from optimal_control_problem_tpu.parallel import make_mesh as _mm
+
+    mesh2d = _mm(("b", "h"), shape=(2, 4))
+    ss, lx, ux, ref = problem()
+    B = 4
+    rng = np.random.default_rng(5)
+    x0 = np.zeros((B, H, cartpole.FRAME), np.float32)
+    lxb = np.tile(lx[None], (B, 1, 1))
+    uxb = np.tile(ux[None], (B, 1, 1))
+    # Different pinned first frame per scenario.
+    for b in range(B):
+        fr = cartpole.initial_state(th=0.2 + 0.1 * b).astype(np.float32)
+        lxb[b, 0] = fr
+        uxb[b, 0] = fr
+    refb = np.tile(ref[None], (B, 1, 1))
+
+    x2d, its = sqp_solve_seq_parallel(
+        ss,
+        jnp.asarray(x0),
+        jnp.asarray(refb),
+        jnp.asarray(lxb),
+        jnp.asarray(uxb),
+        sqp_iters=4,
+        alpha=ALPHA,
+        admm=ADMM,
+        mesh=mesh2d,
+        axis="h",
+        batch_axis="b",
+    )
+    assert x2d.shape == (B, H, cartpole.FRAME)
+    assert np.isfinite(np.asarray(x2d)).all()
+
+    mesh1d = _mm(("h",), shape=(4,), devices=list(mesh2d.devices[0]))
+    for b in range(B):
+        x1d, _ = sqp_solve_seq_parallel(
+            ss,
+            jnp.asarray(x0[b]),
+            jnp.asarray(refb[b]),
+            jnp.asarray(lxb[b]),
+            jnp.asarray(uxb[b]),
+            sqp_iters=4,
+            alpha=ALPHA,
+            admm=ADMM,
+            mesh=mesh1d,
+            axis="h",
+        )
+        np.testing.assert_allclose(
+            np.asarray(x2d[b]), np.asarray(x1d), atol=2e-3,
+            err_msg=f"scenario {b}",
+        )
