@@ -13,7 +13,6 @@ itself publishes no numbers — BASELINE.json ``published: {}``).
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -28,7 +27,6 @@ def main():
 
     from optimal_control_problem_tpu.models import double_integrator as di
     from optimal_control_problem_tpu.parallel import BatchedSolver
-    from optimal_control_problem_tpu.solvers.admm import ADMMSettings
     from optimal_control_problem_tpu.utils.serialization import (
         enable_compilation_cache,
     )

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..problem import OptimalControlProblem, SolverType
+from ..problem import OptimalControlProblem
 
 __all__ = ["BatchState", "BatchedSolver"]
 

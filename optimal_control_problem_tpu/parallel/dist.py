@@ -13,12 +13,11 @@ Two layers (SURVEY.md section 2, parallelism table):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .batch import BatchedSolver, BatchState
 from .mesh import batch_sharding, make_mesh

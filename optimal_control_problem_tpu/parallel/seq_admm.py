@@ -23,6 +23,7 @@ stage-constraint rows.
 
 from __future__ import annotations
 
+
 from typing import NamedTuple, Optional
 
 import jax

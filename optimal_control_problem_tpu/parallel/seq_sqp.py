@@ -28,7 +28,6 @@ local scenario shard, giving the full pod-slice layout
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

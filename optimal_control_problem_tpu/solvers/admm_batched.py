@@ -55,7 +55,6 @@ from .admm import (
     _RHO_MIN,
     _RHO_TOL,
     _limit_scaling,
-    f32_matmuls,
     ruiz_equilibrate,
 )
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
-import os
 import subprocess
 from pathlib import Path
 from typing import NamedTuple, Optional

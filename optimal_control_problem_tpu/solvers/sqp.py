@@ -38,14 +38,13 @@ and substantially cheaper when the reference signal is long.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sym import Sym, compile_fn
+from ..sym import Sym
 from .admm import ADMMSettings, admm_solve, f32_matmuls
 
 __all__ = ["SQPOptions", "SQPResult", "SQPOptimizationSolver", "normalize_nlp"]

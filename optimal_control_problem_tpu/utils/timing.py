@@ -15,8 +15,8 @@ from __future__ import annotations
 
 import time
 from contextlib import contextmanager
-from dataclasses import dataclass, field
-from typing import Dict, List
+
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
