@@ -69,12 +69,22 @@ def _rho_of(l, u, rho, dtype):
 
 
 def seq_admm_local(
-    Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc, *, settings, axis, D
+    Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc, *, settings, axis, D,
+    sync_axes=None,
 ):
     """The per-device ADMM computation; call INSIDE a shard_map over
     ``axis`` (directly, or via :func:`admm_solve_seq_parallel`).  All
-    arguments are local shards (leading dim C = stages per device)."""
+    arguments are local shards (leading dim C = stages per device).
+
+    ``sync_axes``: mesh axes to synchronize termination over (default:
+    just ``axis``).  When embedded in a multi-axis mesh, pass ALL axes —
+    collective permutes must execute the same number of loop iterations on
+    every participating device, or partial-axis groups deadlock on
+    runtimes that rendezvous globally.
+    """
     st = settings
+    if sync_axes is None:
+        sync_axes = (axis,)
     dtype = Hb.dtype
     C, w, _ = Hb.shape
     r = J0.shape[1]
@@ -250,7 +260,7 @@ def seq_admm_local(
             jnp.maximum(jnp.max(jnp.abs(aty)), jnp.max(jnp.abs(px))),
             jnp.max(jnp.abs(q)),
         )
-        pm = lambda t: jax.lax.pmax(t, axis)
+        pm = lambda t: jax.lax.pmax(t, sync_axes)
         r_prim, r_dual = pm(rp_loc), pm(rd_loc)
         eps_pri = st.eps_abs + st.eps_rel * pm(mp_loc)
         eps_dua = st.eps_abs + st.eps_rel * pm(md_loc)

@@ -75,6 +75,7 @@ def sqp_solve_seq_parallel(
         else 0
     )
     dtype = x0.dtype
+    sync_axes = (axis,) if batch_axis is None else (axis, batch_axis)
 
     stage_hess = jax.vmap(jax.hessian(ss.stage_cost))
     stage_grad = jax.vmap(jax.grad(ss.stage_cost))
@@ -159,6 +160,7 @@ def sqp_solve_seq_parallel(
                 settings=admm,
                 axis=axis,
                 D=D,
+                sync_axes=sync_axes,
             )
             return x_l + alpha * dx, it[0]
 
