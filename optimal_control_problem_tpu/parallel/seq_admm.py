@@ -70,7 +70,7 @@ def _rho_of(l, u, rho, dtype):
 
 def seq_admm_local(
     Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc, *, settings, axis, D,
-    sync_axes=None,
+    sync_axes=None, warm=None,
 ):
     """The per-device ADMM computation; call INSIDE a shard_map over
     ``axis`` (directly, or via :func:`admm_solve_seq_parallel`).  All
@@ -215,12 +215,17 @@ def seq_admm_local(
     # Derive initial iterates from varying inputs (fresh zeros would be
     # "unvarying" under shard_map's value typing — and must vary over every
     # mesh axis the enclosing context uses, including a vmapped batch axis).
-    x = q * 0.0
+    if warm is None:
+        x = q * 0.0
+        yx = lx * 0.0
+        yd = ld * 0.0
+        yc = lc * 0.0
+    else:
+        x, yx, yd, yc = warm
     zx, zd, zc = apply_A(x)
     zx = jnp.clip(zx, lx, ux)
     zd = jnp.clip(zd, ld, ud) * dyn_valid
     zc = jnp.clip(zc, lc, uc)
-    yx, yd, yc = zx * 0.0, zd * 0.0, zc * 0.0
 
     def one_iter(carry, _):
         x, zx, zd, zc, yx, yd, yc = carry
@@ -284,8 +289,8 @@ def seq_admm_local(
     it, carry, done = jax.lax.while_loop(
         cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0, done0)
     )
-    x = carry[0]
-    return x, jnp.full((C,), it, jnp.int32), jnp.full((C,), done)
+    x, zx, zd, zc, yx, yd, yc = carry
+    return x, jnp.full((C,), it, jnp.int32), jnp.full((C,), done), (x, yx, yd, yc)
 
 
 def admm_solve_seq_parallel(
@@ -312,10 +317,11 @@ def admm_solve_seq_parallel(
     st = settings
 
     def body(Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc):
-        return seq_admm_local(
+        x, it, done, _warm = seq_admm_local(
             Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc,
             settings=st, axis=axis, D=D,
         )
+        return x, it, done
 
     shard = NamedSharding(mesh, P(axis))
     args = [jax.device_put(a, shard) for a in qp]

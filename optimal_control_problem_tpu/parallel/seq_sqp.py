@@ -100,7 +100,8 @@ def sqp_solve_seq_parallel(
                 t, axis, [(i, (i - 1) % D) for i in range(D)]
             )
 
-        def sqp_iter(x_l, _):
+        def sqp_iter(carry, _):
+            x_l, warm = carry
             frames = x_l
             Hb = stage_hess(frames, ref_l, ks)
             # Gershgorin convexification per block.
@@ -145,7 +146,7 @@ def sqp_solve_seq_parallel(
                 lc = jnp.zeros((C, 0), dtype)
                 uc = jnp.zeros((C, 0), dtype)
 
-            dx, it, done = seq_admm_local(
+            dx, it, done, warm_out = seq_admm_local(
                 Hb,
                 J0,
                 J1,
@@ -161,10 +162,19 @@ def sqp_solve_seq_parallel(
                 axis=axis,
                 D=D,
                 sync_axes=sync_axes,
+                warm=warm,
             )
-            return x_l + alpha * dx, it[0]
+            return (x_l + alpha * dx, warm_out), it[0]
 
-        x_l, its = jax.lax.scan(sqp_iter, x_l, None, length=sqp_iters)
+        warm0 = (
+            x_l * 0.0,
+            x_l * 0.0,
+            jnp.zeros((C, r), dtype) + x_l[:, :1] * 0.0,
+            jnp.zeros((C, r2), dtype) + x_l[:, :1] * 0.0,
+        )
+        (x_l, _), its = jax.lax.scan(
+            sqp_iter, (x_l, warm0), None, length=sqp_iters
+        )
         # its is replicated (computed from collectives); emit per-device and
         # let the host read one copy.
         return x_l, its[None]
