@@ -51,3 +51,39 @@ def test_plan_property_and_requires_gen():
     u = ctl.step(di.initial_state(), np.zeros(12))
     assert u.shape == (2,)
     assert ctl.plan.shape == (6, di.FRAME)
+
+
+def test_controller_nonlinear_cartpole():
+    """Controller drives the nonlinear cart-pole toward upright."""
+    from optimal_control_problem_tpu.models import cartpole
+
+    H, dt = 12, 0.04
+    cfg = cartpole.make_config(
+        horizon=H, dt=dt, alpha=0.3, step_num=8,
+        formulation="reduced",
+        ADMM_settings={"method": "condensed", "max_iter": 500},
+    )
+    ocp = cartpole.build(cfg)
+    ctl = MPCController(ocp, cartpole.CONTROL_SLICE)
+    state = cartpole.initial_state(th=2.6)  # near upright (pi ~ 3.14)
+    ref = np.array([np.pi])
+
+    def plant(s, F, dt):
+        x, dx, th, dth, _ = s
+        import jax.numpy as jnp
+
+        ddx, ddth = cartpole.cartpole_accel(
+            jnp.asarray(dx), jnp.asarray(th), jnp.asarray(dth), jnp.asarray(F)
+        )
+        return np.array(
+            [x + dt * dx, dx + dt * float(ddx), th + dt * dth,
+             dth + dt * float(ddth), F],
+        )
+
+    err0 = abs(state[2] - np.pi)
+    for _ in range(50):
+        u = ctl.step(state, ref)
+        state = plant(state, float(u[0]), dt)
+    err_end = abs(state[2] - np.pi)
+    assert err_end < err0
+    assert err_end < 0.25
