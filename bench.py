@@ -13,9 +13,14 @@ itself publishes no numbers — BASELINE.json ``published: {}``).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -24,6 +29,19 @@ def main():
     warmup = int(os.environ.get("OCP_BENCH_WARMUP", 3))
 
     import jax
+
+    # Register a CPU device alongside the accelerator so construction-time
+    # probe compiles stay off the (potentially slow) accelerator compile
+    # path; harmless when already CPU-only or when platforms are on auto.
+    try:
+        cur = jax.config.jax_platforms
+        if cur and "cpu" not in cur.split(","):
+            jax.config.update("jax_platforms", f"{cur},cpu")
+            from jax.extend import backend as _jb
+
+            _jb.clear_backends()
+    except Exception:
+        pass
 
     from optimal_control_problem_tpu.models import double_integrator as di
     from optimal_control_problem_tpu.parallel import BatchedSolver
@@ -49,6 +67,7 @@ def main():
             "adaptive_rho": True,
         },
     )
+    _log("building problem + solver")
     ocp = di.build(cfg)
     batched = BatchedSolver(ocp)
 
@@ -61,9 +80,13 @@ def main():
     state = batched.init_state(batch)
 
     # Warm up: compile + converge warm-start state to MPC steady state.
+    _log(f"compiling/warming batch={batch} (first call may take minutes "
+         "on a cold remote-compile cache)")
+    t0 = time.perf_counter()
     for _ in range(warmup):
         trajs, objs, state = batched.solve(frames, refs, state)
     jax.block_until_ready(trajs)
+    _log(f"warmup done in {time.perf_counter() - t0:.0f}s; measuring")
 
     # Throughput: pipelined ticks.  Each tick consumes the previous tick's
     # state (a data dependency, so device execution is fully serialized);
@@ -94,6 +117,7 @@ def main():
     lat_batch = int(os.environ.get("OCP_BENCH_LAT_BATCH", 64))
     lat_frames = frames[:lat_batch]
     lat_refs = refs[:lat_batch]
+    _log(f"compiling/warming latency config batch={lat_batch}")
     lat_state = batched.init_state(lat_batch)
     for _ in range(warmup + 2):
         lt, lo, lat_state = batched.solve(lat_frames, lat_refs, lat_state)

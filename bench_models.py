@@ -23,6 +23,19 @@ import numpy as np
 def bench_model(name, build_fn, frames, refs, batch, ticks, warmup=2):
     import jax
 
+    # Register a CPU device alongside the accelerator so construction-time
+    # probe compiles stay off the (potentially slow) accelerator compile
+    # path; harmless when already CPU-only or when platforms are on auto.
+    try:
+        cur = jax.config.jax_platforms
+        if cur and "cpu" not in cur.split(","):
+            jax.config.update("jax_platforms", f"{cur},cpu")
+            from jax.extend import backend as _jb
+
+            _jb.clear_backends()
+    except Exception:
+        pass
+
     from optimal_control_problem_tpu.parallel import BatchedSolver
 
     ocp = build_fn()

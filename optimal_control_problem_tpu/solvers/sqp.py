@@ -100,6 +100,23 @@ class SQPOptions:
     hessian_reg: Any = "auto"
 
 
+def _host_eval(fn, *args):
+    """Evaluate a small construction-time probe, preferring a CPU device.
+
+    Solver construction needs a handful of tiny jitted evaluations (LTI
+    detection, shared-matrix extraction).  On accelerators behind a slow
+    remote-compile service these one-off compiles dominate construction
+    time; a CPU device (if registered, e.g. ``jax_platforms="tpu,cpu"``)
+    compiles them in milliseconds.  Falls back to the default device.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return jax.jit(fn)(*args)
+    with jax.default_device(cpu):
+        return jax.jit(fn)(*args)
+
+
 def normalize_nlp(nlp: Dict[str, Any]):
     """Accept the reference-shaped nlp dict and normalize to callables.
 
@@ -442,7 +459,6 @@ class SQPOptimizationSolver:
         """
         matrices_raw = self._parts[1]
         rng = np.random.default_rng(12345)
-        fn = jax.jit(matrices_raw)
         try:
             outs = []
             for _ in range(2):
@@ -452,7 +468,7 @@ class SQPOptimizationSolver:
                 p = jnp.asarray(
                     rng.normal(size=(self.n_p,)) * 0.7, self.dtype
                 )
-                outs.append(fn(x, p))
+                outs.append(_host_eval(matrices_raw, x, p))
             (H1, A1), (H2, A2) = outs
             return bool(
                 jnp.allclose(H1, H2, rtol=1e-4, atol=1e-5)
@@ -594,8 +610,8 @@ class SQPOptimizationSolver:
         # and apply the Hessian convexification shift on the host — keeping
         # eigendecompositions (and any per-iteration factorization) entirely
         # out of the compiled solve graph.
-        H_raw, A_raw = jax.jit(matrices_raw)(
-            jnp.zeros((n_x,), dtype), jnp.zeros((self.n_p,), dtype)
+        H_raw, A_raw = _host_eval(
+            matrices_raw, jnp.zeros((n_x,), dtype), jnp.zeros((self.n_p,), dtype)
         )
         H_np = np.asarray(H_raw, np.float64)
         A_np = np.asarray(A_raw, np.float64)
