@@ -140,6 +140,34 @@ def main():
             ticks,
         )
 
+    if "cartpole_pallas" in which or "cartpole" in which:
+        frames = np.zeros((B_nl, cartpole.FRAME), np.float32)
+        frames[:, 2] = rng.uniform(-0.5, 0.5, B_nl).astype(np.float32)
+        refs = np.full((B_nl, 1), np.pi, np.float32)
+        bench_model(
+            "cartpole_h20_pallas",
+            lambda: cartpole.build(
+                cartpole.make_config(
+                    horizon=20,
+                    dt=0.02,
+                    alpha=0.3,
+                    step_num=10,
+                    formulation="reduced",
+                    ADMM_settings={
+                        "method": "condensed",
+                        "max_iter": 500,
+                        "adaptive_rho": False,
+                        "backend": "pallas",
+                        "rho": 0.05,
+                    },
+                )
+            ),
+            frames,
+            refs,
+            B_nl,
+            ticks,
+        )
+
     if "unicycle" in which:
         frames = np.zeros((B_nl, unicycle.FRAME), np.float32)
         frames[:, 2] = rng.uniform(-0.5, 0.5, B_nl).astype(np.float32)
@@ -158,6 +186,27 @@ def main():
                     ADMM_settings=admm_nl,
                 ),
                 halfspaces=(((0.0, 1.0), -0.5),),
+            ),
+            frames,
+            refs,
+            B_nl,
+            ticks,
+        )
+
+    if "unicycle" in which:
+        bench_model(
+            "unicycle_h50_banded",
+            lambda: unicycle.build(
+                unicycle.make_config(
+                    horizon=50,
+                    dt=0.05,
+                    alpha=0.3,
+                    step_num=10,
+                    formulation="reduced",
+                    ADMM_settings={"method": "banded", "max_iter": 500},
+                ),
+                halfspaces=(((0.0, 1.0), -0.5),),
+                stagewise=True,
             ),
             frames,
             refs,
