@@ -264,6 +264,14 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
     if st.backend == "pallas":
         if st.method != "condensed":
             raise ValueError("backend='pallas' requires method='condensed'")
+        # The kernel pins OP, A, A^T and P in VMEM (~16 MB/core budget).
+        vmem_bytes = 4 * (2 * n * n + 2 * m * n + 4 * (n + m))
+        if vmem_bytes > 12 * 1024 * 1024:
+            raise ValueError(
+                f"backend='pallas' would need ~{vmem_bytes / 1e6:.1f} MB of "
+                "VMEM for this problem size (n={}, m={}); use backend='xla' "
+                "or method='banded'".format(n, m)
+            )
         from ..ops.admm_kernel import admm_device_loop
 
         xs, ys, zs, it = admm_device_loop(

@@ -49,6 +49,14 @@ __all__ = [
     "sqrt",
     "tanh",
     "abs_",
+    "asin",
+    "acos",
+    "atan",
+    "atan2",
+    "minimum",
+    "maximum",
+    "power",
+    "norm_2",
     "compile_fn",
     "evaluate",
 ]
@@ -222,6 +230,33 @@ log = _unary(jnp.log)
 sqrt = _unary(jnp.sqrt)
 tanh = _unary(jnp.tanh)
 abs_ = _unary(jnp.abs)
+asin = _unary(jnp.arcsin)
+acos = _unary(jnp.arccos)
+atan = _unary(jnp.arctan)
+
+
+def _binary_fn(op):
+    def f(a, b) -> "Sym":
+        if not isinstance(a, Sym):
+            a = const(a)
+        return a._binary(b, op)
+
+    return f
+
+
+atan2 = _binary_fn(jnp.arctan2)
+minimum = _binary_fn(jnp.minimum)
+maximum = _binary_fn(jnp.maximum)
+power = _binary_fn(jnp.power)
+
+
+def norm_2(x: Sym) -> Sym:
+    """Euclidean norm (CasADi ``norm_2``)."""
+    return Sym(
+        lambda env, memo: jnp.linalg.norm(x._ev(env, memo)).reshape(1),
+        (1,),
+        (x,),
+    )
 
 
 def vertcat(*parts) -> Sym:

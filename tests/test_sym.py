@@ -84,3 +84,25 @@ def test_binding_size_check():
     x = S.sym("x", 3)
     with pytest.raises(ValueError):
         S.evaluate(x, {"x": jnp.array([1.0, 2.0])})
+
+
+def test_extended_functions():
+    x = S.sym("x", 2)
+    env = {"x": jnp.array([0.5, -0.5])}
+    np.testing.assert_allclose(
+        S.evaluate(S.atan2(x[0], x[1]), env), [np.arctan2(0.5, -0.5)], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        S.evaluate(S.minimum(x, 0.0), env), [0.0, -0.5]
+    )
+    np.testing.assert_allclose(
+        S.evaluate(S.maximum(x, 0.0), env), [0.5, 0.0]
+    )
+    np.testing.assert_allclose(
+        S.evaluate(S.norm_2(x), env), [np.sqrt(0.5)], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        S.evaluate(S.asin(x[0]) + S.acos(x[0]) + S.atan(x[1]), env),
+        [np.arcsin(0.5) + np.arccos(0.5) + np.arctan(-0.5)],
+        rtol=1e-6,
+    )
