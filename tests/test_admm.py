@@ -222,3 +222,20 @@ def test_unconstrained_qp_m0():
     sol = run(P, q, A, np.zeros(0), np.zeros(0))
     assert bool(sol.converged)
     np.testing.assert_allclose(sol.x, [1.0, 2.0], atol=1e-3)
+
+
+def test_infeasible_qp_reports_nonconvergence():
+    """Contradictory equality rows: the solver must NOT report convergence.
+
+    (OSQP additionally emits primal/dual infeasibility certificates; here
+    the contract is converged=False with max_iter reached — certificates
+    are tracked as future work.)
+    """
+    P = 2 * np.eye(2)
+    q = np.zeros(2)
+    A = np.array([[1.0, 1.0], [1.0, 1.0]])
+    l = np.array([1.0, 3.0])  # x+y == 1 AND x+y == 3
+    u = np.array([1.0, 3.0])
+    sol = run(P, q, A, l, u, SET.replace(max_iter=500))
+    assert not bool(sol.converged)
+    assert int(sol.iters) >= 500
