@@ -121,6 +121,14 @@ class ADMMSettings:
     # accuracy from the 1e-3 ADMM tolerance to near float32 precision.
     polish: bool = False
     polish_delta: float = 1e-6
+    # OSQP infeasibility detection (Banjac et al., "Infeasibility detection
+    # in the ADMM algorithm"): the successive-iterate differences delta_x /
+    # delta_y converge to dual / primal infeasibility certificates when the
+    # QP is unbounded / infeasible.  Checked every ``check_every`` iterations
+    # on unscaled quantities; tolerances are the OSQP defaults.
+    check_infeasibility: bool = True
+    eps_prim_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
 
     def replace(self, **kw) -> "ADMMSettings":
         return dataclasses.replace(self, **kw)
@@ -134,6 +142,13 @@ class QPSolution(NamedTuple):
     converged: jnp.ndarray  # bool scalar
     r_prim: jnp.ndarray  # final unscaled primal residual (inf-norm)
     r_dual: jnp.ndarray  # final unscaled dual residual (inf-norm)
+    # OSQP-style infeasibility certificates.  When ``prim_inf`` is True the
+    # problem is primal infeasible and delta-y (not returned; its direction
+    # is ``y``'s divergence ray) certifies it; ``dual_inf`` marks an
+    # unbounded (dual-infeasible) problem.  Both False for the Pallas
+    # backend and for solvers that predate the check.
+    prim_inf: jnp.ndarray = False  # noqa: RUF009 - NamedTuple default
+    dual_inf: jnp.ndarray = False
 
 
 def _limit_scaling(v: jnp.ndarray) -> jnp.ndarray:
@@ -344,18 +359,77 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
         eps_dua = st.eps_abs + st.eps_rel * max_dual
         return r_prim, r_dual, eps_pri, eps_dua, max_prim, max_dual
 
+    def infeasibility_certificates(dx_u, dy_u):
+        """OSQP is_primal_infeasible / is_dual_infeasible on unscaled deltas.
+
+        ``dx_u``/``dy_u`` are the unscaled changes of (x, y) over one
+        termination-check block; when the QP is infeasible/unbounded they
+        align with the certificate rays of Banjac et al.  All tests use the
+        ORIGINAL (unscaled) P, q, A, l, u, as OSQP does (auxil.c).
+        """
+        tiny = jnp.asarray(1e-12, dtype)
+        # -- primal infeasibility: delta_y with A^T dy ~ 0 and support
+        #    function u'(dy)_+ + l'(dy)_- < 0.
+        if m:
+            ndy = jnp.max(jnp.abs(dy_u))
+            dy_p = jnp.maximum(dy_u, 0.0)
+            dy_m = jnp.minimum(dy_u, 0.0)
+            # Masked products so inf * 0 cannot produce NaN; an infinite
+            # bound with matching delta sign yields +inf, which correctly
+            # blocks certification.
+            t_u = jnp.where(dy_p > 0, u * dy_p, 0.0)
+            t_l = jnp.where(dy_m < 0, l * dy_m, 0.0)
+            support = jnp.sum(t_u + t_l)
+            n_Atdy = jnp.max(jnp.abs(A.T @ dy_u))
+            prim_inf = jnp.logical_and(
+                ndy > tiny,
+                jnp.logical_and(
+                    support < -st.eps_prim_inf * ndy,
+                    n_Atdy < st.eps_prim_inf * ndy,
+                ),
+            )
+        else:
+            prim_inf = jnp.asarray(False)
+        # -- dual infeasibility: delta_x with P dx ~ 0, q'dx < 0 and A dx
+        #    consistent with a feasible recession direction.
+        ndx = jnp.max(jnp.abs(dx_u)) if n else jnp.asarray(0.0, dtype)
+        thr = st.eps_dual_inf * ndx
+        cond_q = (q @ dx_u) < -thr
+        cond_P = jnp.max(jnp.abs(P @ dx_u)) < thr
+        if m:
+            Adx = A @ dx_u
+            cond_A = jnp.logical_and(
+                jnp.all(jnp.where(u < jnp.inf, Adx < thr, True)),
+                jnp.all(jnp.where(l > -jnp.inf, Adx > -thr, True)),
+            )
+        else:
+            cond_A = jnp.asarray(True)
+        dual_inf = jnp.logical_and(
+            ndx > tiny,
+            jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
+        )
+        return prim_inf, dual_inf
+
     def cond_fn(state):
-        it, x, z, y, rho_v, OP, done, rp, rd = state
-        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+        it, x, z, y, rho_v, OP, done, pinf, dinf, rp, rd = state
+        stop = jnp.logical_or(done, jnp.logical_or(pinf, dinf))
+        return jnp.logical_and(it < st.max_iter, jnp.logical_not(stop))
 
     def body_fn(state):
-        it, x, z, y, rho_v, OP, done, _, _ = state
+        it, x, z, y, rho_v, OP, done, pinf, dinf, _, _ = state
+        x_old, y_old = x, y
         (x, z, y, rho_v, OP), _ = jax.lax.scan(
             one_iter, (x, z, y, rho_v, OP), None, length=st.check_every
         )
         it = it + st.check_every
         r_prim, r_dual, eps_pri, eps_dua, max_prim, max_dual = residuals(x, z, y)
         done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+        if st.check_infeasibility:
+            pinf, dinf = infeasibility_certificates(
+                D * (x - x_old), E * (y - y_old) / c
+            )
+            pinf = jnp.logical_and(pinf, jnp.logical_not(done))
+            dinf = jnp.logical_and(dinf, jnp.logical_not(done))
 
         if st.adaptive_rho and m:
             def maybe_adapt(args):
@@ -386,13 +460,13 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
                 do_adapt, maybe_adapt, lambda a: a, (rho_v, OP)
             )
 
-        return (it, x, z, y, rho_v, OP, done, r_prim, r_dual)
+        return (it, x, z, y, rho_v, OP, done, pinf, dinf, r_prim, r_dual)
 
     it0 = jnp.asarray(0, jnp.int32)
     done0 = jnp.asarray(False)
     zero = jnp.asarray(jnp.inf, dtype)
-    state = (it0, x, z, y, rho_v, OP, done0, zero, zero)
-    it, x, z, y, rho_v, OP, done, r_prim, r_dual = jax.lax.while_loop(
+    state = (it0, x, z, y, rho_v, OP, done0, done0, done0, zero, zero)
+    it, x, z, y, rho_v, OP, done, pinf, dinf, r_prim, r_dual = jax.lax.while_loop(
         cond_fn, body_fn, state
     )
 
@@ -410,6 +484,8 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
         converged=done,
         r_prim=r_prim,
         r_dual=r_dual,
+        prim_inf=pinf,
+        dual_inf=dinf,
     )
 
 

@@ -186,9 +186,28 @@ class TpuQP:
         if self._verbose:
             print(
                 f"[TpuQP] iters={int(sol.iters)} converged={bool(sol.converged)} "
-                f"r_prim={float(sol.r_prim):.2e} r_dual={float(sol.r_dual):.2e}"
+                f"r_prim={float(sol.r_prim):.2e} r_dual={float(sol.r_dual):.2e} "
+                f"status={self.get_status()}"
             )
         return bool(sol.converged)
+
+    def get_status(self) -> str:
+        """OSQP-style status string for the last solve.
+
+        One of ``"solved"``, ``"primal_infeasible"``, ``"dual_infeasible"``,
+        ``"max_iter_reached"`` (OSQP's solver-status enum as surfaced by
+        OsqpEigen after ``solveProblem``).
+        """
+        if self._solution is None:
+            return "unsolved"
+        sol = self._solution
+        if bool(sol.converged):
+            return "solved"
+        if bool(sol.prim_inf):
+            return "primal_infeasible"
+        if bool(sol.dual_inf):
+            return "dual_infeasible"
+        return "max_iter_reached"
 
     def get_solution(self) -> np.ndarray:
         """``getSolutionAsDM`` analog (CuCaQP.cpp:213-224)."""
@@ -236,6 +255,7 @@ class TpuQP:
     setRelativeTolerance = set_relative_tolerance
     setMaxIteration = set_max_iteration
     initSolver = init_solver
+    getStatus = get_status
     getSolution = get_solution
     getSolutionAsDM = get_solution
     printSolverData = print_solver_data

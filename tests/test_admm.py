@@ -224,12 +224,12 @@ def test_unconstrained_qp_m0():
     np.testing.assert_allclose(sol.x, [1.0, 2.0], atol=1e-3)
 
 
-def test_infeasible_qp_reports_nonconvergence():
-    """Contradictory equality rows: the solver must NOT report convergence.
+def test_infeasible_qp_certificate():
+    """Contradictory equality rows: primal-infeasibility certificate.
 
-    (OSQP additionally emits primal/dual infeasibility certificates; here
-    the contract is converged=False with max_iter reached — certificates
-    are tracked as future work.)
+    OSQP semantics (auxil.c is_primal_infeasible): the delta-y direction
+    certifies infeasibility, the solve stops early, and converged stays
+    False.
     """
     P = 2 * np.eye(2)
     q = np.zeros(2)
@@ -238,4 +238,44 @@ def test_infeasible_qp_reports_nonconvergence():
     u = np.array([1.0, 3.0])
     sol = run(P, q, A, l, u, SET.replace(max_iter=500))
     assert not bool(sol.converged)
-    assert int(sol.iters) >= 500
+    assert bool(sol.prim_inf)
+    assert not bool(sol.dual_inf)
+    assert int(sol.iters) < 500  # early exit on certificate
+
+
+def test_infeasible_box_qp_certificate():
+    """Disjoint box rows (x >= 1 and x <= 0) are primal infeasible."""
+    P = np.eye(1)
+    q = np.zeros(1)
+    A = np.array([[1.0], [1.0]])
+    l = np.array([1.0, -np.inf])
+    u = np.array([np.inf, 0.0])
+    sol = run(P, q, A, l, u, SET.replace(max_iter=2000))
+    assert not bool(sol.converged)
+    assert bool(sol.prim_inf)
+
+
+def test_unbounded_qp_dual_certificate():
+    """min -x s.t. x >= 0 is unbounded: dual-infeasibility certificate."""
+    P = np.zeros((1, 1))
+    q = np.array([-1.0])
+    A = np.array([[1.0]])
+    l = np.array([0.0])
+    u = np.array([np.inf])
+    sol = run(P, q, A, l, u, SET.replace(max_iter=2000))
+    assert not bool(sol.converged)
+    assert bool(sol.dual_inf)
+    assert not bool(sol.prim_inf)
+
+
+def test_feasible_qp_no_false_certificates():
+    """A plainly solvable QP must not trip either certificate."""
+    P = 2 * np.eye(2)
+    q = np.array([-2.0, -2.0])
+    A = np.eye(2)
+    l = np.zeros(2)
+    u = np.full(2, 10.0)
+    sol = run(P, q, A, l, u, SET)
+    assert bool(sol.converged)
+    assert not bool(sol.prim_inf)
+    assert not bool(sol.dual_inf)
