@@ -20,10 +20,10 @@ is what makes long horizons (quadrotor h100: n=1600, dense operator
 sequence structure instead of dense attention (SURVEY.md section 5,
 "long-context").
 
-Semantics: OSQP iteration identical to :mod:`.admm` with two deviations,
-both documented: no Ruiz equilibration (the per-stage Hessian
-regularization plus per-row rho carry the conditioning burden; scaling of
-banded systems is a planned refinement) and cost scaling c = 1.
+Semantics: OSQP iteration identical to :mod:`.admm`, including modified
+Ruiz equilibration — computed structurally on the stage blocks (column and
+row inf-norms of [P A^T; A 0] assembled from block contributions), so the
+dense KKT matrix is never formed even for scaling.
 """
 
 from __future__ import annotations
@@ -41,10 +41,11 @@ from .admm import (
     _RHO_MAX,
     _RHO_MIN,
     _RHO_TOL,
+    _limit_scaling,
     f32_matmuls,
 )
 
-__all__ = ["BandedQP", "admm_solve_banded"]
+__all__ = ["BandedQP", "admm_solve_banded", "ruiz_equilibrate_banded"]
 
 
 class BandedQP(NamedTuple):
@@ -76,6 +77,91 @@ def _rho_vec(l, u, rho, dtype):
     )
     rho_v = jnp.where(loose, _RHO_MIN, rho_v)
     return rho_v
+
+
+def ruiz_equilibrate_banded(qp: BandedQP, iters: int):
+    """Modified Ruiz equilibration computed structurally on stage blocks.
+
+    Mirrors :func:`.admm.ruiz_equilibrate` (OSQP ``scale.c``), but every
+    column/row inf-norm of ``[[P, A^T], [A, 0]]`` is assembled from the
+    block-tridiagonal contributions — the dense KKT matrix is never formed.
+    Returns ``(scaled_qp, D, E, c)``: ``D`` the (N*w,) variable scaling,
+    ``E`` the (m,) row scaling ordered [x; dyn; sc], ``c`` the cost scaling,
+    such that ``Hb_s = c D Hb D``, ``A_s = E A D``, ``q_s = c D q``,
+    ``l_s/u_s = E l / E u``.
+    """
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    r = qp.J0.shape[1]
+    r2 = qp.Jc.shape[1]
+    dtype = qp.Hb.dtype
+
+    def scaled_blocks(D, Ex, Ed, Ec, c):
+        # D/Ex: (N, w); Ed: (N-1, r); Ec: (N, r2).
+        Pb = c * D[:, :, None] * qp.Hb * D[:, None, :]
+        Ax = Ex * D  # identity rows of A are diagonal: value per (k, j)
+        Ad0 = Ed[:, :, None] * qp.J0 * D[:-1, None, :] if r else qp.J0
+        Ad1 = Ed[:, :, None] * qp.J1 * D[1:, None, :] if r else qp.J1
+        Ac = Ec[:, :, None] * qp.Jc * D[:, None, :] if r2 else qp.Jc
+        return Pb, Ax, Ad0, Ad1, Ac
+
+    def body(_, carry):
+        D, Ex, Ed, Ec, c = carry
+        Pb, Ax, Ad0, Ad1, Ac = scaled_blocks(D, Ex, Ed, Ec, c)
+        # Column inf-norms of [Pb; Ab] per variable (k, j).  Variable (k, j)
+        # is touched by P block k, its identity row, dynamics rows k (J0)
+        # and k-1 (J1), and stage-constraint rows k.
+        norm_x = jnp.max(jnp.abs(Pb), axis=1)
+        norm_x = jnp.maximum(norm_x, jnp.abs(Ax))
+        if r:
+            norm_x = norm_x.at[:-1].max(jnp.max(jnp.abs(Ad0), axis=1))
+            norm_x = norm_x.at[1:].max(jnp.max(jnp.abs(Ad1), axis=1))
+        if r2:
+            norm_x = jnp.maximum(norm_x, jnp.max(jnp.abs(Ac), axis=1))
+        D = D / jnp.sqrt(_limit_scaling(norm_x))
+        # Row inf-norms of Ab (same pre-update blocks, as in the dense path).
+        Ex = Ex / jnp.sqrt(_limit_scaling(jnp.abs(Ax)))
+        if r:
+            nrow = jnp.maximum(
+                jnp.max(jnp.abs(Ad0), axis=2), jnp.max(jnp.abs(Ad1), axis=2)
+            )
+            Ed = Ed / jnp.sqrt(_limit_scaling(nrow))
+        if r2:
+            Ec = Ec / jnp.sqrt(_limit_scaling(jnp.max(jnp.abs(Ac), axis=2)))
+        # Cost scaling: gamma = 1/max(mean P col-norm, ||qb||_inf).
+        Pb = c * D[:, :, None] * qp.Hb * D[:, None, :]
+        qb = c * (D.reshape(-1) * qp.q)
+        mean_pcol = jnp.mean(jnp.max(jnp.abs(Pb), axis=1))
+        gamma = 1.0 / _limit_scaling(
+            jnp.maximum(mean_pcol, jnp.max(jnp.abs(qb)))
+        )
+        return D, Ex, Ed, Ec, c * gamma
+
+    D = jnp.ones((N, w), dtype)
+    Ex = jnp.ones((N, w), dtype)
+    Ed = jnp.ones((max(N - 1, 0), r), dtype)
+    Ec = jnp.ones((N, r2), dtype)
+    c = jnp.asarray(1.0, dtype)
+    if iters > 0:
+        D, Ex, Ed, Ec, c = jax.lax.fori_loop(
+            0, iters, body, (D, Ex, Ed, Ec, c)
+        )
+
+    E_parts = [Ex.reshape(-1)]
+    if r:
+        E_parts.append(Ed.reshape(-1))
+    if r2:
+        E_parts.append(Ec.reshape(-1))
+    E = jnp.concatenate(E_parts)
+    scaled = BandedQP(
+        Hb=c * D[:, :, None] * qp.Hb * D[:, None, :],
+        J0=Ed[:, :, None] * qp.J0 * D[:-1, None, :] if r else qp.J0,
+        J1=Ed[:, :, None] * qp.J1 * D[1:, None, :] if r else qp.J1,
+        Jc=Ec[:, :, None] * qp.Jc * D[:, None, :] if r2 else qp.Jc,
+        q=c * D.reshape(-1) * qp.q,
+        l=E * qp.l,
+        u=E * qp.u,
+    )
+    return scaled, D.reshape(-1), E, c
 
 
 def _apply_A(qp: BandedQP, x):
@@ -164,16 +250,21 @@ def admm_solve_banded(
     m = qp.l.shape[0]
     sigma = jnp.asarray(st.sigma, dtype)
     alpha = jnp.asarray(st.alpha, dtype)
-    l = jnp.minimum(qp.l.astype(dtype), qp.u.astype(dtype))
-    u = qp.u.astype(dtype)
-    q = qp.q.astype(dtype)
+    qp = qp._replace(
+        l=jnp.minimum(qp.l.astype(dtype), qp.u.astype(dtype)),
+        u=qp.u.astype(dtype),
+        q=qp.q.astype(dtype),
+    )
+    qp, D, E, c = ruiz_equilibrate_banded(qp, st.scaling_iters)
+    l, u, q = qp.l, qp.u, qp.q
+    Dinv, Einv, cinv = 1.0 / D, 1.0 / E, 1.0 / c
 
     rho_v = _rho_vec(l, u, jnp.asarray(st.rho, dtype), dtype)
     diag, lower = _build_M_blocks(qp, rho_v, sigma)
     fac = btd_factor(diag, lower)
 
-    x = jnp.zeros((n,), dtype) if x0 is None else x0.astype(dtype)
-    y = jnp.zeros((m,), dtype) if y0 is None else y0.astype(dtype)
+    x = jnp.zeros((n,), dtype) if x0 is None else (x0.astype(dtype) * Dinv)
+    y = jnp.zeros((m,), dtype) if y0 is None else (c * y0.astype(dtype) * Einv)
     z = jnp.clip(_apply_A(qp, x.reshape(N, w)), l, u)
 
     def one_iter(carry, _):
@@ -188,15 +279,19 @@ def admm_solve_banded(
         return (x_new, z_new, y_new, rho, fac), None
 
     def residuals(x, z, y):
+        # Unscaled residuals (OSQP): divide rows by E, variables by D,
+        # dual quantities additionally by the cost scaling c.
         Ax = _apply_A(qp, x.reshape(N, w))
         Px = _apply_P(qp, x.reshape(N, w)).reshape(-1)
         Aty = _apply_AT(qp, y).reshape(-1)
-        r_prim = jnp.max(jnp.abs(Ax - z))
-        r_dual = jnp.max(jnp.abs(Px + q + Aty))
-        max_prim = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z)))
-        max_dual = jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(Px))),
-            jnp.max(jnp.abs(q)),
+        r_prim = jnp.max(jnp.abs((Ax - z) * Einv))
+        r_dual = cinv * jnp.max(jnp.abs((Px + q + Aty) * Dinv))
+        max_prim = jnp.maximum(
+            jnp.max(jnp.abs(Ax * Einv)), jnp.max(jnp.abs(z * Einv))
+        )
+        max_dual = cinv * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Aty * Dinv)), jnp.max(jnp.abs(Px * Dinv))),
+            jnp.max(jnp.abs(q * Dinv)),
         )
         eps_pri = st.eps_abs + st.eps_rel * max_prim
         eps_dua = st.eps_abs + st.eps_rel * max_dual
@@ -261,9 +356,9 @@ def admm_solve_banded(
         cond_fn, body_fn, state
     )
     return QPSolution(
-        x=x,
-        y=y,
-        z=z,
+        x=D * x,
+        y=E * y * cinv,
+        z=z * Einv,
         iters=it,
         converged=done,
         r_prim=r_prim,

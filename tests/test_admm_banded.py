@@ -122,6 +122,61 @@ def test_banded_vmap():
         )
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_banded_ruiz_matches_dense_ruiz(seed):
+    """With scaling ON both solvers run the identical OSQP algorithm."""
+    qp = random_stage_qp(seed)
+    P, A = dense_equivalent(qp)
+    st = SET.replace(scaling_iters=10)
+    dense = admm_solve(jnp.asarray(P), qp.q, jnp.asarray(A), qp.l, qp.u, st)
+    banded = admm_solve_banded(qp, st)
+    assert bool(dense.converged) and bool(banded.converged)
+    np.testing.assert_allclose(
+        np.asarray(banded.x), np.asarray(dense.x), atol=5e-3
+    )
+
+
+def test_banded_ruiz_scaling_factors_match_dense():
+    """The structured Ruiz factors equal the dense ones on the same QP."""
+    from optimal_control_problem_tpu.solvers.admm import ruiz_equilibrate
+    from optimal_control_problem_tpu.solvers.admm_banded import (
+        ruiz_equilibrate_banded,
+    )
+
+    qp = random_stage_qp(5)
+    P, A = dense_equivalent(qp)
+    _, _, _, D_d, E_d, c_d = ruiz_equilibrate(
+        jnp.asarray(P), qp.q, jnp.asarray(A), 10
+    )
+    _, D_b, E_b, c_b = ruiz_equilibrate_banded(qp, 10)
+    np.testing.assert_allclose(np.asarray(D_b), np.asarray(D_d), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(E_b), np.asarray(E_d), rtol=1e-4)
+    np.testing.assert_allclose(float(c_b), float(c_d), rtol=1e-4)
+
+
+def test_banded_ruiz_badly_scaled_qp_matches_dense():
+    """A QP with 1e5 dynamic range across stages: the scaled banded solve
+    must converge and agree with the scaled dense solve."""
+    qp = random_stage_qp(7)
+    # Inflate one stage's Hessian and shrink another's to wreck conditioning.
+    Hb = np.asarray(qp.Hb).copy()
+    Hb[0] *= 1e3
+    Hb[-1] *= 1e-2
+    q = np.asarray(qp.q).copy()
+    q[:4] *= 1e3
+    qp = qp._replace(Hb=jnp.asarray(Hb), q=jnp.asarray(q))
+    st_scaled = SET.replace(scaling_iters=10)
+    scaled = admm_solve_banded(qp, st_scaled)
+    assert bool(scaled.converged)
+    P, A = dense_equivalent(qp)
+    dense = admm_solve(
+        jnp.asarray(P), qp.q, jnp.asarray(A), qp.l, qp.u, st_scaled
+    )
+    np.testing.assert_allclose(
+        np.asarray(scaled.x), np.asarray(dense.x), atol=5e-3
+    )
+
+
 def test_banded_sqp_end_to_end_cartpole():
     """Full SQP with the banded inner solver matches the dense path."""
     from optimal_control_problem_tpu.models import cartpole

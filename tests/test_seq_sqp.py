@@ -10,8 +10,16 @@ from optimal_control_problem_tpu.parallel.seq_sqp import sqp_solve_seq_parallel
 from optimal_control_problem_tpu.solvers.admm import ADMMSettings
 
 H, DT = 16, 0.04
+# scaling_iters=0: the sequence-parallel ADMM does not implement
+# (distributed) Ruiz equilibration, so the single-device banded reference
+# must run unscaled for the two to be the identical algorithm.
 ADMM = ADMMSettings(
-    eps_abs=1e-4, eps_rel=1e-4, adaptive_rho=False, rho=0.05, max_iter=2000
+    eps_abs=1e-4,
+    eps_rel=1e-4,
+    adaptive_rho=False,
+    rho=0.05,
+    max_iter=2000,
+    scaling_iters=0,
 )
 SQP_ITERS, ALPHA = 6, 0.3
 
