@@ -124,6 +124,9 @@ class SolverSettings:
             precision=str(admm_node.get("precision", "highest")),
             polish=bool(admm_node.get("polish", False)),
         )
+        # Whether the user pinned the QP method; when absent, gen_solver is
+        # free to auto-select "banded" for long-horizon stage structures.
+        self.admm_method_explicit = "method" in admm_node
 
     @classmethod
     def default_node(cls, solve_method: str = "TPU_SQP") -> Dict[str, Any]:
@@ -395,6 +398,16 @@ class OptimalControlProblem:
             if st.formulation != "reduced":
                 st.formulation = "reduced"
             parts = build_stagewise_parts(ss, st.dtype, "auto")
+            # Long horizons: the block-tridiagonal QP path is O(N w^3)
+            # against the dense operator's O(N^3 w^3) and wins >10x at
+            # horizon 100 (see docs/PERFORMANCE.md); make it the default
+            # when the user did not pin a method.
+            if (
+                not getattr(st, "admm_method_explicit", True)
+                and st.admm.method == "kkt"
+                and self.ocp_config.get_horizon() >= 50
+            ):
+                st.admm = st.admm.replace(method="banded")
         else:
             if not self._constraints:
                 raise RuntimeError("Constraints are empty")  # cpp:230-233

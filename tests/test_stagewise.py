@@ -137,3 +137,24 @@ def test_unicycle_stagewise_matches_generic():
     Hs, As = jax.jit(staged.solver._parts[1])(X, P)
     np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hg), atol=1e-4)
     np.testing.assert_allclose(np.asarray(As), np.asarray(Ag), atol=1e-4)
+
+
+def test_banded_auto_default_long_horizon():
+    """Stage-structured problems with horizon >= 50 pick the banded QP path
+    unless the user pinned a method (gen_solver auto-selection)."""
+    from optimal_control_problem_tpu.models import cartpole
+
+    long_cfg = cartpole.make_config(horizon=50, dt=0.02, step_num=2)
+    ocp = cartpole.build(long_cfg, stagewise=True)
+    assert ocp._solver.options.admm.method == "banded"
+
+    short_cfg = cartpole.make_config(horizon=20, dt=0.02, step_num=2)
+    ocp_short = cartpole.build(short_cfg, stagewise=True)
+    assert ocp_short._solver.options.admm.method == "kkt"
+
+    pinned_cfg = cartpole.make_config(
+        horizon=50, dt=0.02, step_num=2,
+        ADMM_settings={"method": "kkt"},
+    )
+    ocp_pinned = cartpole.build(pinned_cfg, stagewise=True)
+    assert ocp_pinned._solver.options.admm.method == "kkt"
