@@ -16,9 +16,10 @@ is the OCP analog of context/sequence parallelism (SURVEY.md sections 2, 5):
 horizons too long for one device's memory/latency budget scale across the
 mesh instead.
 
-Scope (v1): fixed rho (no adaptation — the factorization is distributed),
-no Ruiz scaling (same as the single-device banded path), dynamics +
-stage-constraint rows.
+Scope: fixed rho during the iteration (no adaptation — the factorization is
+distributed); modified Ruiz equilibration runs distributed at setup (one
+neighbor exchange each way plus one psum/pmax over the horizon axis per
+scaling sweep), matching the single-device banded path's OSQP semantics.
 """
 
 from __future__ import annotations
@@ -31,7 +32,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.block_tridiag import btd_factor, btd_solve, btd_solve_mat
-from ..solvers.admm import ADMMSettings, _RHO_EQ_OVER_RHO_INEQ, _RHO_MAX, _RHO_MIN, _RHO_TOL, f32_matmuls
+from ..solvers.admm import (
+    ADMMSettings,
+    _RHO_EQ_OVER_RHO_INEQ,
+    _RHO_MAX,
+    _RHO_MIN,
+    _RHO_TOL,
+    _limit_scaling,
+    f32_matmuls,
+)
 
 __all__ = ["ShardedBandedQP", "admm_solve_seq_parallel"]
 
@@ -66,6 +75,93 @@ def _rho_of(l, u, rho, dtype):
     return jnp.where(loose, _RHO_MIN, r)
 
 
+
+
+def _ruiz_seq_local(
+    Hb, J0, J1, Jc, q, *, iters, axis, D, is_first, is_last,
+    right_shift, left_shift,
+):
+    """Distributed modified Ruiz equilibration over the sharded stages.
+
+    Mirrors :func:`..solvers.admm_banded.ruiz_equilibrate_banded` with the
+    horizon axis sharded.  Per sweep: one right-shift delivers each
+    residual row's J1 column-norm contribution to the next stage, one
+    left-shift fetches the next stage's variable scaling for the J1 row
+    norms, and the cost scaling reduces with one psum + pmax over ``axis``.
+    Returns per-stage factors (Dv, Ex, Ed, Ec) and the scalar cost
+    scaling c; padded dynamics rows (all-zero J0/J1) keep Ed = 1.
+    """
+    dtype = Hb.dtype
+    C, w = Hb.shape[0], Hb.shape[1]
+    r = J0.shape[1]
+    r2 = Jc.shape[1]
+    N = C * D
+
+    def body(_, carry):
+        Dv, Ex, Ed, Ec, c = carry
+        # Column inf-norms of the scaled [P; A] per variable (pre-update
+        # scalings, as in the dense/banded paths).
+        Pcol = jnp.max(
+            jnp.abs(c * Dv[:, :, None] * Hb * Dv[:, None, :]), axis=1
+        )
+        norm_x = jnp.maximum(Pcol, jnp.abs(Ex * Dv))
+        if r:
+            norm_x = jnp.maximum(
+                norm_x, jnp.max(jnp.abs(Ed[:, :, None] * J0), axis=1) * Dv
+            )
+            # Residual row k couples stage k+1 through J1: deliver row
+            # C-1's contribution to the right neighbor's first stage.
+            t = jnp.max(jnp.abs(Ed[:, :, None] * J1), axis=1)  # (C, w)
+            t_prev = right_shift(t[-1])
+            t_sh = jnp.concatenate([t_prev[None], t[:-1]], axis=0)
+            t_sh = t_sh.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
+            norm_x = jnp.maximum(norm_x, t_sh * Dv)
+        if r2:
+            norm_x = jnp.maximum(
+                norm_x, jnp.max(jnp.abs(Ec[:, :, None] * Jc), axis=1) * Dv
+            )
+        # Row inf-norms of the scaled A (same pre-update scalings).
+        rowx = jnp.abs(Ex * Dv)
+        if r:
+            Dn_first = left_shift(Dv[0])
+            Dv_next = jnp.concatenate([Dv[1:], Dn_first[None]], axis=0)
+            row_d = Ed * jnp.maximum(
+                jnp.max(jnp.abs(J0 * Dv[:, None, :]), axis=2),
+                jnp.max(jnp.abs(J1 * Dv_next[:, None, :]), axis=2),
+            )
+        if r2:
+            row_c = Ec * jnp.max(jnp.abs(Jc * Dv[:, None, :]), axis=2)
+        Dv = Dv / jnp.sqrt(_limit_scaling(norm_x))
+        Ex = Ex / jnp.sqrt(_limit_scaling(rowx))
+        if r:
+            Ed = Ed / jnp.sqrt(_limit_scaling(row_d))
+        if r2:
+            Ec = Ec / jnp.sqrt(_limit_scaling(row_c))
+        # Cost scaling (post-update Dv): gamma = 1/max(mean P col-norm,
+        # ||qb||_inf), both global over the horizon axis.
+        Pcol = jnp.max(
+            jnp.abs(c * Dv[:, :, None] * Hb * Dv[:, None, :]), axis=1
+        )
+        mean_pcol = jax.lax.psum(jnp.sum(Pcol), axis) / (N * w)
+        qmax = jax.lax.pmax(jnp.max(jnp.abs(c * Dv * q)), axis)
+        gamma = 1.0 / _limit_scaling(jnp.maximum(mean_pcol, qmax))
+        return Dv, Ex, Ed, Ec, c * gamma
+
+    # Initial factors must carry the same varying-axes type as the loop
+    # body's outputs (shard_map value typing): derive the ones from the
+    # problem data instead of fresh constants.  c's body output is a psum
+    # over ``axis`` (unvarying there, varying over any enclosing batch
+    # axis), so its init mirrors that exact collective profile.
+    Dv = 1.0 + 0.0 * Hb[:, :, 0]
+    Ex = 1.0 + 0.0 * Hb[:, :, 0]
+    Ed = 1.0 + 0.0 * J0[:, :, 0] if r else jnp.zeros((C, 0), dtype)
+    Ec = 1.0 + 0.0 * Jc[:, :, 0] if r2 else jnp.zeros((C, 0), dtype)
+    c = 1.0 + 0.0 * jax.lax.psum(jnp.sum(Hb[:, 0, 0]), axis)
+    if iters > 0:
+        Dv, Ex, Ed, Ec, c = jax.lax.fori_loop(
+            0, iters, body, (Dv, Ex, Ed, Ec, c)
+        )
+    return Dv, Ex, Ed, Ec, c
 
 
 def seq_admm_local(
@@ -103,6 +199,25 @@ def seq_admm_local(
     is_last = d == D - 1
     sigma = jnp.asarray(st.sigma, dtype)
     alpha = jnp.asarray(st.alpha, dtype)
+
+    # ---- distributed Ruiz equilibration (setup-time, static trip count) --
+    Dv, Exs, Eds, Ecs, c = _ruiz_seq_local(
+        Hb, J0, J1, Jc, q,
+        iters=st.scaling_iters, axis=axis, D=D,
+        is_first=is_first, is_last=is_last,
+        right_shift=right_shift, left_shift=left_shift,
+    )
+    Dn_first = left_shift(Dv[0])
+    Dv_next = jnp.concatenate([Dv[1:], Dn_first[None]], axis=0)
+    Hb = c * Dv[:, :, None] * Hb * Dv[:, None, :]
+    J0 = Eds[:, :, None] * J0 * Dv[:, None, :] if r else J0
+    J1 = Eds[:, :, None] * J1 * Dv_next[:, None, :] if r else J1
+    Jc = Ecs[:, :, None] * Jc * Dv[:, None, :] if r2 else Jc
+    q = c * Dv * q
+    lx, ux = Exs * lx, Exs * ux
+    ld, ud = Eds * ld, Eds * ud
+    lc, uc = Ecs * lc, Ecs * uc
+    cinv = 1.0 / c
 
     rho_x = _rho_of(lx, ux, jnp.asarray(st.rho, dtype), dtype)  # (C, w)
     rho_d = _rho_of(ld, ud, jnp.asarray(st.rho, dtype), dtype)  # (C, r)
@@ -215,13 +330,19 @@ def seq_admm_local(
     # Derive initial iterates from varying inputs (fresh zeros would be
     # "unvarying" under shard_map's value typing — and must vary over every
     # mesh axis the enclosing context uses, including a vmapped batch axis).
+    # Warm starts arrive in UNSCALED units (caller-visible semantics, same
+    # as admm_solve's x0/y0): map into the scaled frame.
     if warm is None:
         x = q * 0.0
         yx = lx * 0.0
         yd = ld * 0.0
         yc = lc * 0.0
     else:
-        x, yx, yd, yc = warm
+        x_u, yx_u, yd_u, yc_u = warm
+        x = x_u / Dv
+        yx = c * yx_u / Exs
+        yd = c * yd_u / Eds if r else yd_u
+        yc = c * yc_u / Ecs if r2 else yc_u
     zx, zd, zc = apply_A(x)
     zx = jnp.clip(zx, lx, ux)
     zd = jnp.clip(zd, ld, ud) * dyn_valid
@@ -250,20 +371,35 @@ def seq_admm_local(
         return (x_new, zx_n, zd_n, zc_n, yx_n, yd_n, yc_n), None
 
     def residuals(x, zx, zd, zc, yx, yd, yc):
+        # Unscaled residuals (OSQP): rows divided by their E factor,
+        # variables by Dv, dual quantities by the cost scaling c.
         ax, ad, ac = apply_A(x)
         px = jnp.einsum("kij,kj->ki", Hb, x)
         aty = apply_AT(yx, yd, yc)
-        cat = lambda a, b, c: jnp.concatenate(
-            [a.reshape(-1), b.reshape(-1), c.reshape(-1)]
+        exi, edi, eci = 1.0 / Exs, 1.0 / Eds, 1.0 / Ecs
+        dvi = 1.0 / Dv
+        cat = lambda a, b, c_: jnp.concatenate(
+            [a.reshape(-1), b.reshape(-1), c_.reshape(-1)]
         )
-        rp_loc = jnp.max(jnp.abs(cat(ax - zx, (ad - zd) * dyn_valid, ac - zc)))
-        rd_loc = jnp.max(jnp.abs(px + q + aty))
+        rp_loc = jnp.max(
+            jnp.abs(
+                cat(
+                    (ax - zx) * exi,
+                    (ad - zd) * dyn_valid * edi,
+                    (ac - zc) * eci,
+                )
+            )
+        )
+        rd_loc = cinv * jnp.max(jnp.abs((px + q + aty) * dvi))
         mp_loc = jnp.maximum(
-            jnp.max(jnp.abs(cat(ax, ad, ac))), jnp.max(jnp.abs(cat(zx, zd, zc)))
+            jnp.max(jnp.abs(cat(ax * exi, ad * edi, ac * eci))),
+            jnp.max(jnp.abs(cat(zx * exi, zd * edi, zc * eci))),
         )
-        md_loc = jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(aty)), jnp.max(jnp.abs(px))),
-            jnp.max(jnp.abs(q)),
+        md_loc = cinv * jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(aty * dvi)), jnp.max(jnp.abs(px * dvi))
+            ),
+            jnp.max(jnp.abs(q * dvi)),
         )
         pm = lambda t: jax.lax.pmax(t, sync_axes)
         r_prim, r_dual = pm(rp_loc), pm(rd_loc)
@@ -290,7 +426,14 @@ def seq_admm_local(
         cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0, done0)
     )
     x, zx, zd, zc, yx, yd, yc = carry
-    return x, jnp.full((C,), it, jnp.int32), jnp.full((C,), done), (x, yx, yd, yc)
+    x_u = Dv * x
+    warm_u = (
+        x_u,
+        Exs * yx * cinv,
+        Eds * yd * cinv if r else yd,
+        Ecs * yc * cinv if r2 else yc,
+    )
+    return x_u, jnp.full((C,), it, jnp.int32), jnp.full((C,), done), warm_u
 
 
 def admm_solve_seq_parallel(

@@ -103,3 +103,25 @@ def test_seq_parallel_rejects_bad_split():
     qp = random_stage_qp(2, 12, 3, 2, 1)  # 12 not divisible by 8
     with pytest.raises(ValueError, match="split"):
         admm_solve_seq_parallel(to_sharded(qp), SET, mesh=mesh, axis="h")
+
+
+@pytest.mark.parametrize("seed,N,w,r,r2", [(3, 16, 4, 3, 1)])
+def test_seq_parallel_ruiz_matches_single_device(seed, N, w, r, r2):
+    """With Ruiz ON (distributed vs structured) both paths still agree."""
+    st = SET.replace(scaling_iters=10)
+    mesh = make_mesh(("h",))
+    qp = random_stage_qp(seed, N, w, r, r2)
+    # Wreck the conditioning: 1e5 dynamic range across stage Hessians.
+    Hb = np.asarray(qp.Hb).copy()
+    Hb[0] *= 1e3
+    Hb[-1] *= 1e-2
+    qp = qp._replace(Hb=jnp.asarray(Hb))
+    ref = admm_solve_banded(qp, st)
+    assert bool(ref.converged)
+    x, iters, done = admm_solve_seq_parallel(
+        to_sharded(qp), st, mesh=mesh, axis="h"
+    )
+    assert bool(done)
+    np.testing.assert_allclose(
+        np.asarray(x).reshape(-1), np.asarray(ref.x), atol=5e-3
+    )

@@ -10,16 +10,11 @@ from optimal_control_problem_tpu.parallel.seq_sqp import sqp_solve_seq_parallel
 from optimal_control_problem_tpu.solvers.admm import ADMMSettings
 
 H, DT = 16, 0.04
-# scaling_iters=0: the sequence-parallel ADMM does not implement
-# (distributed) Ruiz equilibration, so the single-device banded reference
-# must run unscaled for the two to be the identical algorithm.
+# Both the sequence-parallel ADMM (distributed Ruiz) and the single-device
+# banded reference (structured Ruiz) equilibrate, so default scaling is on
+# and the two run the identical OSQP algorithm.
 ADMM = ADMMSettings(
-    eps_abs=1e-4,
-    eps_rel=1e-4,
-    adaptive_rho=False,
-    rho=0.05,
-    max_iter=2000,
-    scaling_iters=0,
+    eps_abs=1e-4, eps_rel=1e-4, adaptive_rho=False, rho=0.05, max_iter=2000
 )
 SQP_ITERS, ALPHA = 6, 0.3
 
@@ -163,7 +158,10 @@ def test_seq_sqp_2d_mesh_batch_by_horizon():
             mesh=mesh1d,
             axis="h",
         )
+        # 2-D runs synchronize QP termination across scenarios (multi-axis
+        # pmax), so per-scenario ADMM iteration counts differ from the 1-D
+        # runs: agreement is to QP-tolerance scale, not bitwise.
         np.testing.assert_allclose(
-            np.asarray(x2d[b]), np.asarray(x1d), atol=2e-3,
+            np.asarray(x2d[b]), np.asarray(x1d), atol=5e-3,
             err_msg=f"scenario {b}",
         )
