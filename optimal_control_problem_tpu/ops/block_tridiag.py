@@ -127,7 +127,8 @@ def dense_to_blocks(M: jnp.ndarray, N: int, w: int):
 # sharding across ICI neighbors (each level's eliminations are independent
 # -> shard stages over devices, exchange boundary blocks).
 
-class CRFactor(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class CRFactor:
     """Per-level precomputed elimination operators.
 
     ``levels``: tuple over levels of
@@ -136,13 +137,22 @@ class CRFactor(NamedTuple):
     ``G_hi = L_{j+1}^T D_{j+1}^{-1}`` (upper odd neighbor), and
     ``dinv_odd`` are the inverses of the eliminated odd pivots;
     ``root_dinv``: inverse of the final 1-block system;
-    ``lowers``: per-level subdiagonal blocks (for back-substitution);
-    ``n_orig``: original stage count before padding.
+    ``n_orig``: original stage count before padding — static pytree aux
+    data, so a CRFactor can ride jit/while_loop/cond boundaries (the level
+    count and padding are shape-determining).
     """
 
-    levels: tuple
-    root_dinv: jnp.ndarray
-    n_orig: int
+    def __init__(self, levels, root_dinv, n_orig):
+        self.levels = levels
+        self.root_dinv = root_dinv
+        self.n_orig = n_orig
+
+    def tree_flatten(self):
+        return (self.levels, self.root_dinv), self.n_orig
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
 
 
 def _pad_pow2(diag, lower):

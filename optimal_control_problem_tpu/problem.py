@@ -120,6 +120,7 @@ class SolverSettings:
             scaling_iters=int(admm_node.get("scaling_iters", 10)),
             adaptive_rho=bool(admm_node.get("adaptive_rho", True)),
             method=str(admm_node.get("method", "kkt")),
+            banded_solver=str(admm_node.get("banded_solver", "thomas")),
             backend=str(admm_node.get("backend", "xla")),
             precision=str(admm_node.get("precision", "highest")),
             polish=bool(admm_node.get("polish", False)),

@@ -104,6 +104,12 @@ class ADMMSettings:
     adaptive_rho_interval: int = 100
     adaptive_rho_tolerance: float = 5.0
     method: str = "kkt"  # "kkt" (robust, quasi-definite) | "condensed" (fast)
+    # Linear solver inside method="banded": "thomas" (block LDL^T scan,
+    # O(N) depth — right when a large scenario batch fills each scan step)
+    # or "cr" (odd-even cyclic reduction, ~2 log2 N depth at ~2x flops —
+    # right for small batches / long horizons where the scan's sequential
+    # latency dominates).
+    banded_solver: str = "thomas"
     # Iteration-loop backend: "xla" (lax.while_loop) or "pallas" (the fused
     # in-VMEM device loop, ops/admm_kernel.py; condensed method only, no
     # adaptive rho).  "pallas" keeps the per-scenario operator resident in
@@ -276,50 +282,6 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
     y = jnp.zeros((m,), dtype) if y0 is None else (c * y0.astype(dtype) / E)
     z = jnp.clip(Ab @ x, lb, ub)
 
-    if st.backend == "pallas":
-        if st.method != "condensed":
-            raise ValueError("backend='pallas' requires method='condensed'")
-        # The kernel pins OP, A, A^T and P in VMEM (~16 MB/core budget).
-        vmem_bytes = 4 * (2 * n * n + 2 * m * n + 4 * (n + m))
-        if vmem_bytes > 12 * 1024 * 1024:
-            raise ValueError(
-                f"backend='pallas' would need ~{vmem_bytes / 1e6:.1f} MB of "
-                "VMEM for this problem size (n={}, m={}); use backend='xla' "
-                "or method='banded'".format(n, m)
-            )
-        from ..ops.admm_kernel import admm_device_loop
-
-        xs, ys, zs, it = admm_device_loop(
-            OP,
-            Ab,
-            Pb,
-            qb,
-            lb,
-            ub,
-            rho_v,
-            1.0 / D,
-            1.0 / E,
-            1.0 / c,
-            st.sigma,
-            st.alpha,
-            st.eps_abs,
-            st.eps_rel,
-            x,
-            y,
-            max_iter=st.max_iter,
-            check_every=st.check_every,
-            interpret=jax.default_backend() != "tpu",
-        )
-        return QPSolution(
-            x=D * xs,
-            y=E * ys / c,
-            z=zs / E,
-            iters=it,
-            converged=it < st.max_iter,
-            r_prim=jnp.asarray(jnp.nan, dtype),
-            r_dual=jnp.asarray(jnp.nan, dtype),
-        )
-
     def one_iter(carry, _):
         x, z, y, rho_v, OP = carry
         if st.method == "condensed":
@@ -410,6 +372,111 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
         )
         return prim_inf, dual_inf
 
+    def adapt_rho(rho_v, OP, r_prim, r_dual, max_prim, max_dual, done):
+        """OSQP adaptive rho: rescale by sqrt(relative residual ratio) and
+        refactor when the change crosses the tolerance."""
+        num = r_prim / jnp.maximum(max_prim, 1e-10)
+        den = r_dual / jnp.maximum(max_dual, 1e-10)
+        scale = jnp.sqrt(num / jnp.maximum(den, 1e-10))
+        scale = jnp.clip(scale, 1e-3, 1e3)
+        trigger = jnp.logical_or(
+            scale > st.adaptive_rho_tolerance,
+            scale < 1.0 / st.adaptive_rho_tolerance,
+        )
+
+        def adapt(_):
+            new_rho = jnp.clip(rho_v * scale, _RHO_MIN, _RHO_MAX)
+            return new_rho, _factor(Pb, Ab, new_rho, sigma, st.method)
+
+        return jax.lax.cond(
+            jnp.logical_and(trigger, jnp.logical_not(done)),
+            adapt,
+            lambda _: (rho_v, OP),
+            None,
+        )
+
+    if st.backend == "pallas":
+        if st.method != "condensed":
+            raise ValueError("backend='pallas' requires method='condensed'")
+        # The kernel pins OP, A, A^T and P in VMEM (~16 MB/core budget).
+        vmem_bytes = 4 * (2 * n * n + 2 * m * n + 4 * (n + m))
+        if vmem_bytes > 12 * 1024 * 1024:
+            raise ValueError(
+                f"backend='pallas' would need ~{vmem_bytes / 1e6:.1f} MB of "
+                "VMEM for this problem size (n={}, m={}); use backend='xla' "
+                "or method='banded'".format(n, m)
+            )
+        from ..ops.admm_kernel import admm_device_loop
+
+        # The kernel runs one rho-constant chunk fully in VMEM; rho
+        # adaptation (a refactorization) and infeasibility certificates run
+        # in XLA between chunks — OSQP's adapt-every-interval semantics.
+        # With adaptive rho off the whole budget is a single kernel entry.
+        ce = st.check_every
+        if st.adaptive_rho and m:
+            interval = max(st.adaptive_rho_interval, ce)
+            interval = ((interval + ce - 1) // ce) * ce
+        else:
+            interval = st.max_iter
+        interp = jax.default_backend() != "tpu"
+
+        def kernel_round(OP, rho_v, x, y):
+            return admm_device_loop(
+                OP, Ab, Pb, qb, lb, ub, rho_v,
+                1.0 / D, 1.0 / E, 1.0 / c,
+                st.sigma, st.alpha, st.eps_abs, st.eps_rel,
+                x, y,
+                max_iter=interval, check_every=ce, interpret=interp,
+            )
+
+        def p_cond(state):
+            it, x, z, y, rho_v, OP, done, pinf, dinf, rp, rd = state
+            stop = jnp.logical_or(done, jnp.logical_or(pinf, dinf))
+            return jnp.logical_and(it < st.max_iter, jnp.logical_not(stop))
+
+        def p_body(state):
+            it, x, z, y, rho_v, OP, done, pinf, dinf, _, _ = state
+            x_old, y_old = x, y
+            xs, ys, zs, kit = kernel_round(OP, rho_v, x, y)
+            it = it + kit
+            r_prim, r_dual, eps_pri, eps_dua, max_prim, max_dual = residuals(
+                xs, zs, ys
+            )
+            done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+            if st.check_infeasibility:
+                pinf, dinf = infeasibility_certificates(
+                    D * (xs - x_old), E * (ys - y_old) / c
+                )
+                pinf = jnp.logical_and(pinf, jnp.logical_not(done))
+                dinf = jnp.logical_and(dinf, jnp.logical_not(done))
+            if st.adaptive_rho and m:
+                rho_v, OP = adapt_rho(
+                    rho_v, OP, r_prim, r_dual, max_prim, max_dual, done
+                )
+            return (it, xs, zs, ys, rho_v, OP, done, pinf, dinf, r_prim, r_dual)
+
+        f0 = jnp.asarray(False)
+        inf0 = jnp.asarray(jnp.inf, dtype)
+        state = (jnp.asarray(0, jnp.int32), x, z, y, rho_v, OP, f0, f0, f0, inf0, inf0)
+        it, x, z, y, rho_v, OP, done, pinf, dinf, r_prim, r_dual = (
+            jax.lax.while_loop(p_cond, p_body, state)
+        )
+        if st.polish and m:
+            x, y, z, r_prim, r_dual = _polish(
+                Pb, qb, Ab, lb, ub, x, y, z, r_prim, r_dual, residuals, st, dtype
+            )
+        return QPSolution(
+            x=D * x,
+            y=E * y / c,
+            z=z / E,
+            iters=it,
+            converged=done,
+            r_prim=r_prim,
+            r_dual=r_dual,
+            prim_inf=pinf,
+            dual_inf=dinf,
+        )
+
     def cond_fn(state):
         it, x, z, y, rho_v, OP, done, pinf, dinf, rp, rd = state
         stop = jnp.logical_or(done, jnp.logical_or(pinf, dinf))
@@ -432,32 +499,14 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
             dinf = jnp.logical_and(dinf, jnp.logical_not(done))
 
         if st.adaptive_rho and m:
-            def maybe_adapt(args):
-                rho_v, OP = args
-                # rho <- rho * sqrt(relative primal res / relative dual res)
-                num = r_prim / jnp.maximum(max_prim, 1e-10)
-                den = r_dual / jnp.maximum(max_dual, 1e-10)
-                scale = jnp.sqrt(num / jnp.maximum(den, 1e-10))
-                scale = jnp.clip(scale, 1e-3, 1e3)
-                trigger = jnp.logical_or(
-                    scale > st.adaptive_rho_tolerance,
-                    scale < 1.0 / st.adaptive_rho_tolerance,
-                )
-
-                def adapt(_):
-                    new_rho = jnp.clip(rho_v * scale, _RHO_MIN, _RHO_MAX)
-                    return new_rho, _factor(Pb, Ab, new_rho, sigma, st.method)
-
-                return jax.lax.cond(
-                    jnp.logical_and(trigger, jnp.logical_not(done)),
-                    adapt,
-                    lambda _: (rho_v, OP),
-                    None,
-                )
-
             do_adapt = (it % st.adaptive_rho_interval) < st.check_every
             rho_v, OP = jax.lax.cond(
-                do_adapt, maybe_adapt, lambda a: a, (rho_v, OP)
+                do_adapt,
+                lambda a: adapt_rho(
+                    a[0], a[1], r_prim, r_dual, max_prim, max_dual, done
+                ),
+                lambda a: a,
+                (rho_v, OP),
             )
 
         return (it, x, z, y, rho_v, OP, done, pinf, dinf, r_prim, r_dual)

@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.block_tridiag import btd_factor, btd_solve
+from ..ops.block_tridiag import btd_factor, btd_solve, cr_factor, cr_solve
 from .admm import (
     ADMMSettings,
     _RHO_EQ_OVER_RHO_INEQ,
@@ -259,9 +259,16 @@ def admm_solve_banded(
     l, u, q = qp.l, qp.u, qp.q
     Dinv, Einv, cinv = 1.0 / D, 1.0 / E, 1.0 / c
 
+    if st.banded_solver == "cr":
+        factor, solve = cr_factor, cr_solve
+    elif st.banded_solver == "thomas":
+        factor, solve = btd_factor, btd_solve
+    else:
+        raise ValueError(f"unknown banded_solver: {st.banded_solver!r}")
+
     rho_v = _rho_vec(l, u, jnp.asarray(st.rho, dtype), dtype)
     diag, lower = _build_M_blocks(qp, rho_v, sigma)
-    fac = btd_factor(diag, lower)
+    fac = factor(diag, lower)
 
     x = jnp.zeros((n,), dtype) if x0 is None else (x0.astype(dtype) * Dinv)
     y = jnp.zeros((m,), dtype) if y0 is None else (c * y0.astype(dtype) * Einv)
@@ -270,7 +277,7 @@ def admm_solve_banded(
     def one_iter(carry, _):
         x, z, y, rho, fac = carry
         rhs = sigma * x - q + _apply_AT(qp, rho * z - y).reshape(-1)
-        xt = btd_solve(fac, rhs.reshape(N, w)).reshape(-1)
+        xt = solve(fac, rhs.reshape(N, w)).reshape(-1)
         zt = _apply_A(qp, xt.reshape(N, w))
         x_new = alpha * xt + (1 - alpha) * x
         z_rel = alpha * zt + (1 - alpha) * z
@@ -325,7 +332,7 @@ def admm_solve_banded(
                 def adapt(_):
                     new_rho = jnp.clip(rho * scale, _RHO_MIN, _RHO_MAX)
                     d, lo = _build_M_blocks(qp, new_rho, sigma)
-                    return new_rho, btd_factor(d, lo)
+                    return new_rho, factor(d, lo)
 
                 return jax.lax.cond(
                     jnp.logical_and(trigger, jnp.logical_not(done)),

@@ -177,6 +177,19 @@ def test_banded_ruiz_badly_scaled_qp_matches_dense():
     )
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_banded_cyclic_reduction_matches_thomas(seed):
+    """banded_solver='cr' (log-depth) is the same algorithm, same answers."""
+    qp = random_stage_qp(seed)
+    thomas = admm_solve_banded(qp, SET)
+    cr = admm_solve_banded(qp, SET.replace(banded_solver="cr"))
+    assert bool(cr.converged)
+    assert int(cr.iters) == int(thomas.iters)
+    np.testing.assert_allclose(
+        np.asarray(cr.x), np.asarray(thomas.x), atol=1e-4
+    )
+
+
 def test_banded_sqp_end_to_end_cartpole():
     """Full SQP with the banded inner solver matches the dense path."""
     from optimal_control_problem_tpu.models import cartpole

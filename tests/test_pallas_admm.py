@@ -81,3 +81,36 @@ def test_pallas_requires_condensed():
             *map(jnp.asarray, (P, q, A, l, u)),
             XLA.replace(backend="pallas", method="kkt"),
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_adaptive_rho_matches_xla(seed):
+    """Chunked kernel re-entry with rho refactorization between chunks:
+    same OSQP adapt-every-interval semantics as the XLA loop."""
+    st_xla = XLA.replace(adaptive_rho=True, adaptive_rho_interval=50)
+    st_pal = st_xla.replace(backend="pallas")
+    P, q, A, l, u = random_qp(seed)
+    # Badly scaled rho start so adaptation actually triggers.
+    st_xla = st_xla.replace(rho=1e-4)
+    st_pal = st_pal.replace(rho=1e-4)
+    ref = admm_solve(*map(jnp.asarray, (P, q, A, l, u)), st_xla)
+    ker = admm_solve(*map(jnp.asarray, (P, q, A, l, u)), st_pal)
+    assert bool(ref.converged) and bool(ker.converged)
+    np.testing.assert_allclose(np.asarray(ker.x), np.asarray(ref.x), atol=2e-3)
+    # Real residuals are now reported for the pallas path too.
+    assert np.isfinite(float(ker.r_prim)) and np.isfinite(float(ker.r_dual))
+
+
+def test_pallas_infeasible_qp_certificate():
+    """The chunked driver surfaces primal-infeasibility certificates."""
+    P = (2 * np.eye(2)).astype(np.float32)
+    q = np.zeros(2, np.float32)
+    A = np.array([[1.0, 1.0], [1.0, 1.0]], np.float32)
+    l = np.array([1.0, 3.0], np.float32)
+    u = np.array([1.0, 3.0], np.float32)
+    sol = admm_solve(
+        *map(jnp.asarray, (P, q, A, l, u)),
+        PALLAS.replace(max_iter=500),
+    )
+    assert not bool(sol.converged)
+    assert bool(sol.prim_inf)
