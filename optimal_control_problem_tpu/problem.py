@@ -566,6 +566,26 @@ class OptimalControlProblem:
         """Latest full-horizon solution (``getOptimalTrajectory``, cpp:554-556)."""
         return self._optimal_trajectory
 
+    def get_solver_stats(self) -> Dict[str, Any]:
+        """Per-tick solve statistics from the last TPU_SQP solve.
+
+        Programmatic form of what the reference prints when verbose
+        (per-iteration breakdown, SQPOptimizationSolver.cpp:133-213):
+        ``f_history`` (objective after each SQP step), ``qp_iters``
+        (ADMM iterations per step), ``step_norms`` (``||alpha*dx||`` per
+        step), and ``objective``.  Empty dict before the first TPU solve
+        or for host-backend ticks.
+        """
+        res = getattr(self._solver, "last_result", None) if self._solver else None
+        if res is None:
+            return {}
+        return {
+            "objective": float(res.f),
+            "f_history": np.asarray(res.f_history),
+            "qp_iters": np.asarray(res.qp_iters),
+            "step_norms": np.asarray(res.step_norms),
+        }
+
     def get_optimal_frames(self) -> np.ndarray:
         """Solution reshaped to ``(horizon, frame_size)``."""
         if self._optimal_trajectory is None:

@@ -709,6 +709,10 @@ class SQPOptimizationSolver:
         self._result_f = res.f
         self._qp_x = res.qp_x
         self._qp_y = res.qp_y
+        # Full SQPResult (f_history, qp_iters, step_norms) kept for
+        # programmatic observability — the reference only prints these when
+        # verbose (SQPOptimizationSolver.cpp:133-213).
+        self.last_result = res
 
         if self._verbose:
             print("=== SQP done ===")

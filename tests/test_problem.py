@@ -172,3 +172,17 @@ def test_constraint_bookkeeping():
     assert len(ocp.get_constraint_names()) == n_dyn
     assert ocp.get_constraint_lower_bounds().shape == (n_dyn,)
     np.testing.assert_allclose(ocp.get_constraint_upper_bounds(), 0.0)
+
+
+def test_get_solver_stats():
+    """Per-tick stats are exposed programmatically after a TPU_SQP solve."""
+    ocp = di.build(di.make_config(horizon=8, dt=0.01, step_num=4))
+    assert ocp.get_solver_stats() == {}
+    frame = np.zeros(di.FRAME, np.float32)
+    ref = np.zeros(ocp.reference_size, np.float32)
+    ocp.compute_optimal_trajectory(frame, ref)
+    stats = ocp.get_solver_stats()
+    assert stats["qp_iters"].shape == (4,)
+    assert stats["f_history"].shape == (4,)
+    assert stats["step_norms"].shape == (4,)
+    assert np.isfinite(stats["objective"])
