@@ -92,6 +92,13 @@ class SolverSettings:
         self.recompile = bool(node.get("recompile", False))
         self.alpha = float(sqp_node["alpha"])
         self.step_num = int(sqp_node["step_num"])
+        # Optional step-size rule extension (solvers/sqp.SQPOptions):
+        # "none" = reference fixed damped step; "merit" = candidate line
+        # search on an L1 exact-penalty merit function.
+        self.line_search = str(sqp_node.get("line_search", "none"))
+        self.ls_num = int(sqp_node.get("ls_num", 8))
+        self.ls_alpha_max = float(sqp_node.get("ls_alpha_max", 1.0))
+        self.ls_merit_mu = float(sqp_node.get("ls_merit_mu", 10.0))
 
         method = str(node["solve_method"])
         if method == "CUDA_SQP":  # accepted alias (readme.md:58)
@@ -432,6 +439,10 @@ class OptimalControlProblem:
                 dtype=st.dtype,
                 admm=st.admm,
                 shared_system=st.shared_system,
+                line_search=getattr(st, "line_search", "none"),
+                ls_num=getattr(st, "ls_num", 8),
+                ls_alpha_max=getattr(st, "ls_alpha_max", 1.0),
+                ls_merit_mu=getattr(st, "ls_merit_mu", 10.0),
             )
             self._solver = SQPOptimizationSolver(
                 nlp,

@@ -98,6 +98,18 @@ class SQPOptions:
     # "eigh" = exact minimum-eigenvalue shift; a float adds a fixed
     # multiple of identity; 0.0 reproduces the reference exactly.
     hessian_reg: Any = "auto"
+    # Step-size rule.  "none" = the reference's fixed damped step
+    # x += alpha*dx (SQPOptimizationSolver.cpp:174-177).  "merit" =
+    # candidate line search on the L1 exact-penalty merit
+    # phi(x) = f(x) + mu*||violation||_1: evaluate ls_num geometric
+    # candidates a_k = ls_alpha_max * 2^-k in one vmap (static shapes, no
+    # sequential backtracking) and take the best.  Opt-in extension beyond
+    # the reference; typically allows far fewer SQP iterations on
+    # nonlinear problems than a small fixed alpha.
+    line_search: str = "none"
+    ls_num: int = 8
+    ls_alpha_max: float = 1.0
+    ls_merit_mu: float = 10.0
 
 
 def _host_eval(fn, *args):
@@ -428,7 +440,11 @@ class SQPOptimizationSolver:
                 "(OptimalControlProblem.set_stage_structure)"
             )
 
-        if options.shared_system is None and options.admm.method != "banded":
+        if options.line_search != "none":
+            # The shared-factorization batched path implements the fixed
+            # reference update only; merit line search runs per-scenario.
+            self.shared_system = False
+        elif options.shared_system is None and options.admm.method != "banded":
             self.shared_system = self._detect_shared_system()
         else:
             self.shared_system = bool(options.shared_system or False)
@@ -477,15 +493,65 @@ class SQPOptimizationSolver:
         except Exception:  # pragma: no cover - conservative fallback
             return False
 
+    # -- step-size rule ----------------------------------------------------
+    def _make_step_rule(self):
+        """Return ``step(x, dx, p, lbx, ubx, lbg, ubg) -> (x_new, norm)``.
+
+        "none" reproduces the reference's fixed damped update
+        (SQPOptimizationSolver.cpp:174-177); "merit" evaluates ls_num
+        geometric step candidates against an L1 exact-penalty merit in one
+        vmap and takes the best — static shapes, no data-dependent
+        control flow, so it jits/vmaps cleanly.
+        """
+        opt = self.options
+        f_fn, g_fn, n_g = self.f_fn, self.g_fn, self.n_g
+        if opt.line_search == "none":
+            alpha = opt.alpha
+
+            def step(x, dx, p, lbx, ubx, lbg, ubg):
+                return x + alpha * dx, jnp.linalg.norm(alpha * dx)
+
+            return step
+        if opt.line_search != "merit":
+            raise ValueError(
+                f"unknown line_search: {opt.line_search!r} (use 'none' or 'merit')"
+            )
+        mu = opt.ls_merit_mu
+        alphas = opt.ls_alpha_max * (0.5 ** np.arange(opt.ls_num))
+
+        def step(x, dx, p, lbx, ubx, lbg, ubg):
+            al = jnp.asarray(alphas, x.dtype)
+            cand = x[None, :] + al[:, None] * dx[None, :]
+
+            def merit(xc):
+                fv = f_fn(xc, p)
+                # max(-inf, 0) = 0, so infinite bounds contribute nothing.
+                viol = jnp.sum(
+                    jnp.maximum(lbx - xc, 0.0) + jnp.maximum(xc - ubx, 0.0)
+                )
+                if n_g:
+                    gv = g_fn(xc, p)
+                    viol = viol + jnp.sum(
+                        jnp.maximum(lbg - gv, 0.0) + jnp.maximum(gv - ubg, 0.0)
+                    )
+                return fv + mu * viol
+
+            merits = jax.vmap(merit)(cand)
+            a = al[jnp.argmin(merits)]
+            return x + a * dx, jnp.linalg.norm(a * dx)
+
+        return step
+
     # -- functional core --------------------------------------------------
     def _build_solve_fn(self):
         opt = self.options
         n_p = self.n_p
         aug = opt.formulation == "augmented"
-        alpha = opt.alpha
         local_system = self.local_system
         f_fn = self.f_fn
         admm_settings = opt.admm
+
+        step_rule = self._make_step_rule()
 
         @f32_matmuls
         def solve(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
@@ -506,9 +572,8 @@ class SQPOptimizationSolver:
                     y0=qpy if opt.qp_warm_start else None,
                 )
                 dx = sol.x[n_p:] if aug else sol.x
-                x_new = x + alpha * dx
+                x_new, step_norm = step_rule(x, dx, p, lbx, ubx, lbg, ubg)
                 fval = f_fn(x_new, p)
-                step_norm = jnp.linalg.norm(alpha * dx)
                 return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
 
             (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
@@ -535,12 +600,12 @@ class SQPOptimizationSolver:
 
         opt = self.options
         ss = self.stage_structure
-        alpha = opt.alpha
         f_fn = self.f_fn
         admm_settings = opt.admm
         dtype = opt.dtype
         _, _, vectors, stack_bounds = self._parts
         blocks = build_stage_blocks(ss, dtype, opt.hessian_reg)
+        step_rule = self._make_step_rule()
 
         def solve(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
             x_init = x_init.astype(dtype)
@@ -566,9 +631,8 @@ class SQPOptimizationSolver:
                     x0=qpx if opt.qp_warm_start else None,
                     y0=qpy if opt.qp_warm_start else None,
                 )
-                x_new = x + alpha * sol.x
+                x_new, step_norm = step_rule(x, sol.x, p, lbx, ubx, lbg, ubg)
                 fval = f_fn(x_new, p)
-                step_norm = jnp.linalg.norm(alpha * sol.x)
                 return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
 
             (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
