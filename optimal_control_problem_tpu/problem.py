@@ -590,12 +590,18 @@ class OptimalControlProblem:
         res = getattr(self._solver, "last_result", None) if self._solver else None
         if res is None:
             return {}
-        return {
+        out = {
             "objective": float(res.f),
             "f_history": np.asarray(res.f_history),
             "qp_iters": np.asarray(res.qp_iters),
             "step_norms": np.asarray(res.step_norms),
         }
+        qc = np.asarray(res.qp_converged)
+        if qc.size:  # per-step QP status (dense/banded per-scenario paths)
+            out["qp_converged"] = qc
+            out["qp_prim_inf"] = np.asarray(res.qp_prim_inf)
+            out["qp_dual_inf"] = np.asarray(res.qp_dual_inf)
+        return out
 
     def get_optimal_frames(self) -> np.ndarray:
         """Solution reshaped to ``(horizon, frame_size)``."""

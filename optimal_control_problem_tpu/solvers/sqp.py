@@ -58,6 +58,15 @@ class SQPResult(NamedTuple):
     f_history: jnp.ndarray  # objective after each SQP iteration (step_num,)
     qp_iters: jnp.ndarray  # ADMM iterations per SQP step (step_num,)
     step_norms: jnp.ndarray  # ||alpha*dx|| per SQP step (step_num,)
+    # Per-step QP status flags (step_num,) bool.  A True in qp_prim_inf /
+    # qp_dual_inf means that step's local QP was certified infeasible /
+    # unbounded (OSQP certificates) — the damped update still applied its
+    # (truncated) direction, matching the reference's use-the-result-anyway
+    # behavior, but callers can see it.  Default-empty for paths that
+    # predate the flags (batched shared-system).
+    qp_converged: jnp.ndarray = np.zeros((0,), bool)  # noqa: RUF009
+    qp_prim_inf: jnp.ndarray = np.zeros((0,), bool)  # noqa: RUF009
+    qp_dual_inf: jnp.ndarray = np.zeros((0,), bool)  # noqa: RUF009
 
 
 try:  # allow jax.export artifacts containing SQPResult (serialization.py)
@@ -574,9 +583,14 @@ class SQPOptimizationSolver:
                 dx = sol.x[n_p:] if aug else sol.x
                 x_new, step_norm = step_rule(x, dx, p, lbx, ubx, lbg, ubg)
                 fval = f_fn(x_new, p)
-                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
+                status = (
+                    jnp.asarray(sol.converged),
+                    jnp.asarray(sol.prim_inf),
+                    jnp.asarray(sol.dual_inf),
+                )
+                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm, status)
 
-            (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
+            (x, qpx, qpy), (f_hist, qp_iters, step_norms, status) = jax.lax.scan(
                 sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
             )
             return SQPResult(
@@ -587,6 +601,9 @@ class SQPOptimizationSolver:
                 f_history=f_hist,
                 qp_iters=qp_iters,
                 step_norms=step_norms,
+                qp_converged=status[0],
+                qp_prim_inf=status[1],
+                qp_dual_inf=status[2],
             )
 
         return jax.jit(solve)
@@ -633,9 +650,14 @@ class SQPOptimizationSolver:
                 )
                 x_new, step_norm = step_rule(x, sol.x, p, lbx, ubx, lbg, ubg)
                 fval = f_fn(x_new, p)
-                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
+                status = (
+                    jnp.asarray(sol.converged),
+                    jnp.asarray(sol.prim_inf),
+                    jnp.asarray(sol.dual_inf),
+                )
+                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm, status)
 
-            (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
+            (x, qpx, qpy), (f_hist, qp_iters, step_norms, status) = jax.lax.scan(
                 sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
             )
             return SQPResult(
@@ -646,6 +668,9 @@ class SQPOptimizationSolver:
                 f_history=f_hist,
                 qp_iters=qp_iters,
                 step_norms=step_norms,
+                qp_converged=status[0],
+                qp_prim_inf=status[1],
+                qp_dual_inf=status[2],
             )
 
         return jax.jit(solve)

@@ -186,3 +186,20 @@ def test_get_solver_stats():
     assert stats["f_history"].shape == (4,)
     assert stats["step_norms"].shape == (4,)
     assert np.isfinite(stats["objective"])
+
+
+def test_solver_stats_qp_status_flags():
+    """Per-step QP status flags surface for the per-scenario path."""
+    cfg = di.make_config(
+        horizon=8, dt=0.01, step_num=4,
+        shared_system=False,  # force the per-scenario path
+    )
+    ocp = di.build(cfg)
+    frame = np.zeros(di.FRAME, np.float32)
+    ref = np.zeros(ocp.reference_size, np.float32)
+    ocp.compute_optimal_trajectory(frame, ref)
+    stats = ocp.get_solver_stats()
+    assert stats["qp_converged"].shape == (4,)
+    assert stats["qp_converged"].all()  # benign LQ problem: all QPs solve
+    assert not stats["qp_prim_inf"].any()
+    assert not stats["qp_dual_inf"].any()
