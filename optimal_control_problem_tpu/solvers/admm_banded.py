@@ -306,18 +306,82 @@ def admm_solve_banded(
         rd_rel = r_dual / jnp.maximum(max_dual, 1e-12)
         return r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel
 
+    def infeasibility_certificates(dx_s, dy_s):
+        """OSQP delta-iterate certificate tests on UNSCALED quantities.
+
+        ``dx_s``/``dy_s`` are scaled deltas over one check block.  With
+        A_s = E A D, P_s = c D P D, q_s = c D q and the structural matvecs
+        operating on the scaled blocks:
+
+            dy_u       = E dy_s / c            (unscaled dual delta)
+            A^T dy_u   = (1/c) D^{-1} A_s^T dy_s
+            dx_u       = D dx_s
+            P dx_u     = (1/c) D^{-1} P_s dx_s
+            q . dx_u   = (1/c) q_s . dx_s
+            A dx_u     = E^{-1} A_s dx_s
+
+        Mirrors the dense version in ``.admm._admm_solve_impl``.
+        """
+        tiny = jnp.asarray(1e-12, dtype)
+        # -- primal infeasibility via dy.
+        dy_u = E * dy_s * cinv
+        ndy = jnp.max(jnp.abs(dy_u))
+        lu, uu = l * Einv, u * Einv  # original bounds
+        dy_p = jnp.maximum(dy_u, 0.0)
+        dy_m = jnp.minimum(dy_u, 0.0)
+        support = jnp.sum(
+            jnp.where(dy_p > 0, uu * dy_p, 0.0)
+            + jnp.where(dy_m < 0, lu * dy_m, 0.0)
+        )
+        n_Atdy = cinv * jnp.max(
+            jnp.abs(Dinv * _apply_AT(qp, dy_s).reshape(-1))
+        )
+        prim_inf = jnp.logical_and(
+            ndy > tiny,
+            jnp.logical_and(
+                support < -st.eps_prim_inf * ndy,
+                n_Atdy < st.eps_prim_inf * ndy,
+            ),
+        )
+        # -- dual infeasibility via dx.
+        dx_u = D * dx_s
+        ndx = jnp.max(jnp.abs(dx_u))
+        thr = st.eps_dual_inf * ndx
+        cond_q = cinv * (q @ dx_s) < -thr
+        cond_P = (
+            cinv
+            * jnp.max(jnp.abs(Dinv * _apply_P(qp, dx_s.reshape(N, w)).reshape(-1)))
+            < thr
+        )
+        Adx = Einv * _apply_A(qp, dx_s.reshape(N, w))
+        cond_A = jnp.logical_and(
+            jnp.all(jnp.where(uu < jnp.inf, Adx < thr, True)),
+            jnp.all(jnp.where(lu > -jnp.inf, Adx > -thr, True)),
+        )
+        dual_inf = jnp.logical_and(
+            ndx > tiny,
+            jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
+        )
+        return prim_inf, dual_inf
+
     def cond_fn(state):
-        it, x, z, y, rho, fac, done, rp, rd = state
-        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+        it, x, z, y, rho, fac, done, pinf, dinf, rp, rd = state
+        stop = jnp.logical_or(done, jnp.logical_or(pinf, dinf))
+        return jnp.logical_and(it < st.max_iter, jnp.logical_not(stop))
 
     def body_fn(state):
-        it, x, z, y, rho, fac, done, _, _ = state
+        it, x, z, y, rho, fac, done, pinf, dinf, _, _ = state
+        x_old, y_old = x, y
         (x, z, y, rho, fac), _ = jax.lax.scan(
             one_iter, (x, z, y, rho, fac), None, length=st.check_every
         )
         it = it + st.check_every
         r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel = residuals(x, z, y)
         done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+        if st.check_infeasibility:
+            pinf, dinf = infeasibility_certificates(x - x_old, y - y_old)
+            pinf = jnp.logical_and(pinf, jnp.logical_not(done))
+            dinf = jnp.logical_and(dinf, jnp.logical_not(done))
 
         if st.adaptive_rho:
             def maybe_adapt(args):
@@ -345,9 +409,10 @@ def admm_solve_banded(
             rho, fac = jax.lax.cond(
                 do_adapt, maybe_adapt, lambda a: a, (rho, fac)
             )
-        return (it, x, z, y, rho, fac, done, r_prim, r_dual)
+        return (it, x, z, y, rho, fac, done, pinf, dinf, r_prim, r_dual)
 
     inf = jnp.asarray(jnp.inf, dtype)
+    f0 = jnp.asarray(False)
     state = (
         jnp.asarray(0, jnp.int32),
         x,
@@ -355,12 +420,14 @@ def admm_solve_banded(
         y,
         rho_v,
         fac,
-        jnp.asarray(False),
+        f0,
+        f0,
+        f0,
         inf,
         inf,
     )
-    it, x, z, y, rho_v, fac, done, r_prim, r_dual = jax.lax.while_loop(
-        cond_fn, body_fn, state
+    it, x, z, y, rho_v, fac, done, pinf, dinf, r_prim, r_dual = (
+        jax.lax.while_loop(cond_fn, body_fn, state)
     )
     return QPSolution(
         x=D * x,
@@ -370,4 +437,6 @@ def admm_solve_banded(
         converged=done,
         r_prim=r_prim,
         r_dual=r_dual,
+        prim_inf=pinf,
+        dual_inf=dinf,
     )

@@ -231,3 +231,26 @@ def test_banded_requires_structure():
     )
     with pytest.raises(ValueError, match="banded"):
         cartpole.build(cfg)  # no stage structure registered
+
+
+def test_banded_infeasible_qp_certificate():
+    """Two contradictory stage-constraint equality rows (x_k[0] == 1 AND
+    x_k[0] == 3): the structural certificate tests must flag primal
+    infeasibility and stop early."""
+    qp = random_stage_qp(0, N=4, w=2, r=0, r2=2)
+    Jc = np.zeros((4, 2, 2), np.float32)
+    Jc[:, 0, 0] = 1.0  # row A: x_k[0] == 1
+    Jc[:, 1, 0] = 1.0  # row B: x_k[0] == 3  (contradiction)
+    n = 4 * 2
+    l = np.concatenate([np.full(n, -10.0), np.tile([1.0, 3.0], 4)]).astype(
+        np.float32
+    )
+    u = np.concatenate([np.full(n, 10.0), np.tile([1.0, 3.0], 4)]).astype(
+        np.float32
+    )
+    qp = qp._replace(Jc=jnp.asarray(Jc), l=jnp.asarray(l), u=jnp.asarray(u))
+    sol = admm_solve_banded(qp, SET.replace(max_iter=2000))
+    assert not bool(sol.converged)
+    assert bool(sol.prim_inf)
+    assert not bool(sol.dual_inf)
+    assert int(sol.iters) < 2000
