@@ -16,10 +16,12 @@ is the OCP analog of context/sequence parallelism (SURVEY.md sections 2, 5):
 horizons too long for one device's memory/latency budget scale across the
 mesh instead.
 
-Scope: fixed rho during the iteration (no adaptation — the factorization is
-distributed); modified Ruiz equilibration runs distributed at setup (one
-neighbor exchange each way plus one psum/pmax over the horizon axis per
-scaling sweep), matching the single-device banded path's OSQP semantics.
+Full OSQP semantics distributed: modified Ruiz equilibration runs at setup
+(one neighbor exchange each way plus one psum/pmax over the horizon axis
+per scaling sweep), and adaptive rho runs round-based — each adaptation
+interval refactorizes the SPIKE partition with the rescaled rho, the
+trigger being a globally-reduced replicated scalar so every device's
+collectives stay uniform.
 """
 
 from __future__ import annotations
@@ -235,54 +237,62 @@ def seq_admm_local(
     # Neighbor rows needed for M assembly and A^T application.
     J0_prev = right_shift(J0[-1])  # left neighbor's last dyn row
     J1_prev = right_shift(J1[-1])
-    rho_d_prev = right_shift(rho_d[-1])
-
-    # ---- M = P + sigma I + A^T R A, block-tridiagonal, local chunk ----
-    diag = Hb + sigma * jnp.eye(w, dtype=dtype)[None] + jax.vmap(jnp.diag)(rho_x)
-    if r:
-        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_d, J0, J0)
-        # contribution of residual row k-1 through J1 on stage k:
-        J1_sh = jnp.concatenate([J1_prev[None], J1[:-1]], axis=0)
-        rho_sh = jnp.concatenate([rho_d_prev[None], rho_d[:-1]], axis=0)
-        J1_sh = J1_sh.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
-        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J1_sh)
-        # subdiagonal L_k = J1_{k-1}^T R J0_{k-1}; local row k holds L_k.
-        J0_sh = jnp.concatenate([J0_prev[None], J0[:-1]], axis=0)
-        lower = jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J0_sh)
-        lower = lower.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
-    else:
-        lower = jnp.zeros((C, w, w), dtype)
-    if r2:
-        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_c, Jc, Jc)
-
-    # ---- SPIKE factorization (once) ----
-    fac = btd_factor(diag, lower[1:])
-    L0 = jnp.where(is_first, jnp.zeros((w, w), dtype), lower[0])
-    BL = jnp.zeros((C, w, w), dtype).at[0].set(L0)
-    next_L = left_shift(lower[0])
-    Ln = jnp.where(is_last, jnp.zeros((w, w), dtype), next_L)
-    BR = jnp.zeros((C, w, w), dtype).at[-1].set(Ln.T)
-    WL = btd_solve_mat(fac, BL)
-    WR = btd_solve_mat(fac, BR)
     g = lambda t: jax.lax.all_gather(t, axis)
-    WL0, WL1 = g(WL[0]), g(WL[-1])
-    WR0, WR1 = g(WR[0]), g(WR[-1])
     nred = 2 * D * w
-    K = jnp.eye(nred, dtype=dtype)
-    for dd in range(D):
-        rf = 2 * dd * w
-        rl = rf + w
-        if dd > 0:
-            cl = (2 * (dd - 1) + 1) * w
-            K = K.at[rf : rf + w, cl : cl + w].add(WL0[dd])
-            K = K.at[rl : rl + w, cl : cl + w].add(WL1[dd])
-        if dd < D - 1:
-            cf = 2 * (dd + 1) * w
-            K = K.at[rf : rf + w, cf : cf + w].add(WR0[dd])
-            K = K.at[rl : rl + w, cf : cf + w].add(WR1[dd])
-    Kinv = jnp.linalg.inv(K)
 
-    def spike_solve(rhs):
+    def spike_setup(rho_x, rho_d, rho_c):
+        """Assemble M = P + sigma I + A^T R A and build the SPIKE partition
+        factorization (local block LDL^T + WL/WR spikes + reduced interface
+        inverse).  Runs once per rho round; rho adaptation re-enters here."""
+        rho_d_prev = right_shift(rho_d[-1])
+        diag = (
+            Hb
+            + sigma * jnp.eye(w, dtype=dtype)[None]
+            + jax.vmap(jnp.diag)(rho_x)
+        )
+        if r:
+            diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_d, J0, J0)
+            # contribution of residual row k-1 through J1 on stage k:
+            J1_sh = jnp.concatenate([J1_prev[None], J1[:-1]], axis=0)
+            rho_sh = jnp.concatenate([rho_d_prev[None], rho_d[:-1]], axis=0)
+            J1_sh = J1_sh.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
+            diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J1_sh)
+            # subdiagonal L_k = J1_{k-1}^T R J0_{k-1}; local row k holds L_k.
+            J0_sh = jnp.concatenate([J0_prev[None], J0[:-1]], axis=0)
+            lower = jnp.einsum("kr,krw,krv->kwv", rho_sh, J1_sh, J0_sh)
+            lower = lower.at[0].multiply(jnp.where(is_first, 0.0, 1.0))
+        else:
+            lower = jnp.zeros((C, w, w), dtype)
+        if r2:
+            diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_c, Jc, Jc)
+
+        fac = btd_factor(diag, lower[1:])
+        L0 = jnp.where(is_first, jnp.zeros((w, w), dtype), lower[0])
+        BL = jnp.zeros((C, w, w), dtype).at[0].set(L0)
+        next_L = left_shift(lower[0])
+        Ln = jnp.where(is_last, jnp.zeros((w, w), dtype), next_L)
+        BR = jnp.zeros((C, w, w), dtype).at[-1].set(Ln.T)
+        WL = btd_solve_mat(fac, BL)
+        WR = btd_solve_mat(fac, BR)
+        WL0, WL1 = g(WL[0]), g(WL[-1])
+        WR0, WR1 = g(WR[0]), g(WR[-1])
+        K = jnp.eye(nred, dtype=dtype)
+        for dd in range(D):
+            rf = 2 * dd * w
+            rl = rf + w
+            if dd > 0:
+                cl = (2 * (dd - 1) + 1) * w
+                K = K.at[rf : rf + w, cl : cl + w].add(WL0[dd])
+                K = K.at[rl : rl + w, cl : cl + w].add(WL1[dd])
+            if dd < D - 1:
+                cf = 2 * (dd + 1) * w
+                K = K.at[rf : rf + w, cf : cf + w].add(WR0[dd])
+                K = K.at[rl : rl + w, cf : cf + w].add(WR1[dd])
+        Kinv = jnp.linalg.inv(K)
+        return fac, WL, WR, Kinv
+
+    def spike_solve(ops, rhs):
+        fac, WL, WR, Kinv = ops
         v = btd_solve(fac, rhs)
         v0, v1 = g(v[0]), g(v[-1])
         rred = jnp.stack([v0, v1], axis=1).reshape(nred)
@@ -348,12 +358,13 @@ def seq_admm_local(
     zd = jnp.clip(zd, ld, ud) * dyn_valid
     zc = jnp.clip(zc, lc, uc)
 
-    def one_iter(carry, _):
+    def one_iter(rhos, ops, carry):
+        rho_x, rho_d, rho_c = rhos
         x, zx, zd, zc, yx, yd, yc = carry
         rhs = sigma * x - q + apply_AT(
             rho_x * zx - yx, rho_d * zd - yd, rho_c * zc - yc
         )
-        xt = spike_solve(rhs)
+        xt = spike_solve(ops, rhs)
         ztx, ztd, ztc = apply_A(xt)
         x_new = alpha * xt + (1 - alpha) * x
 
@@ -368,7 +379,7 @@ def seq_admm_local(
         zc_n, yc_n = upd(ztc, zc, yc, rho_c, lc, uc)
         zd_n = zd_n * dyn_valid
         yd_n = yd_n * dyn_valid
-        return (x_new, zx_n, zd_n, zc_n, yx_n, yd_n, yc_n), None
+        return (x_new, zx_n, zd_n, zc_n, yx_n, yd_n, yc_n)
 
     def residuals(x, zx, zd, zc, yx, yd, yc):
         # Unscaled residuals (OSQP): rows divided by their E factor,
@@ -403,27 +414,94 @@ def seq_admm_local(
         )
         pm = lambda t: jax.lax.pmax(t, sync_axes)
         r_prim, r_dual = pm(rp_loc), pm(rd_loc)
-        eps_pri = st.eps_abs + st.eps_rel * pm(mp_loc)
-        eps_dua = st.eps_abs + st.eps_rel * pm(md_loc)
-        return jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+        max_prim, max_dual = pm(mp_loc), pm(md_loc)
+        eps_pri = st.eps_abs + st.eps_rel * max_prim
+        eps_dua = st.eps_abs + st.eps_rel * max_dual
+        done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+        return done, r_prim, r_dual, max_prim, max_dual
 
-    def cond_fn(state):
-        it, carry, done = state
-        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+    # ---- rho rounds: SPIKE setup once per adaptation interval ----------
+    # Collectives must execute uniformly, so adaptation is round-based:
+    # each outer round refactorizes with the current rho (the trigger is a
+    # globally-reduced, replicated scalar — every device scales alike),
+    # then the inner loop runs up to `interval` iterations with early
+    # termination synced over `sync_axes`.  adaptive_rho=False is a single
+    # round, i.e. exactly the previous fixed-rho behavior.
+    if st.adaptive_rho:
+        interval = max(st.adaptive_rho_interval, st.check_every)
+        interval = (
+            (interval + st.check_every - 1) // st.check_every
+        ) * st.check_every
+    else:
+        interval = st.max_iter
 
-    def body_fn(state):
-        it, carry, done = state
-        carry, _ = jax.lax.scan(one_iter, carry, None, length=st.check_every)
-        done = residuals(*carry)
-        return it + st.check_every, carry, done
+    def run_round(rhos, it0, carry, done):
+        ops = spike_setup(*rhos)
+
+        def icond(s):
+            k, carry, done, _ = s
+            return jnp.logical_and(
+                k < interval,
+                jnp.logical_and(it0 + k < st.max_iter, jnp.logical_not(done)),
+            )
+
+        def ibody(s):
+            k, carry, done, _ = s
+            carry = jax.lax.fori_loop(
+                0, st.check_every, lambda _, c: one_iter(rhos, ops, c), carry
+            )
+            done, rp, rd, mp, md = residuals(*carry)
+            return k + st.check_every, carry, done, (rp, rd, mp, md)
+
+        # Init residual slots with the same varying-axes type as the
+        # pmax-reduced outputs of residuals() (unvarying over sync_axes).
+        zero = 0.0 * jax.lax.pmax(jnp.max(jnp.abs(q)), sync_axes)
+        k, carry, done, (rp, rd, mp, md) = jax.lax.while_loop(
+            icond, ibody, (jnp.asarray(0, jnp.int32), carry, done,
+                           (zero, zero, zero, zero))
+        )
+        return k, carry, done, (rp, rd, mp, md)
 
     carry0 = (x, zx, zd, zc, yx, yd, yc)
     # Evaluate termination once up front: gives a correctly-typed initial
     # flag (unvarying over the pmax axis, varying over any enclosing batch
     # axes) and an immediate exit for already-converged warm starts.
-    done0 = residuals(*carry0)
-    it, carry, done = jax.lax.while_loop(
-        cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0, done0)
+    done0, *_ = residuals(*carry0)
+    rhos0 = (rho_x, rho_d, rho_c)
+
+    def ocond(s):
+        it, carry, rhos, done = s
+        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+
+    def obody(s):
+        it, carry, rhos, done = s
+        k, carry, done, (rp, rd, mp, md) = run_round(rhos, it, carry, done)
+        it = it + k
+        if st.adaptive_rho:
+            # OSQP rho rule on globally-reduced (replicated) residuals —
+            # every device computes the identical scale, so the next
+            # round's refactorization collectives stay uniform.
+            num = rp / jnp.maximum(mp, 1e-10)
+            den = rd / jnp.maximum(md, 1e-10)
+            scale = jnp.clip(
+                jnp.sqrt(num / jnp.maximum(den, 1e-10)), 1e-3, 1e3
+            )
+            trigger = jnp.logical_or(
+                scale > st.adaptive_rho_tolerance,
+                scale < 1.0 / st.adaptive_rho_tolerance,
+            )
+            s_eff = jnp.where(
+                jnp.logical_and(trigger, jnp.logical_not(done)), scale, 1.0
+            )
+            rho_x_n = jnp.clip(rhos[0] * s_eff, _RHO_MIN, _RHO_MAX)
+            rho_d_n = jnp.clip(rhos[1] * s_eff, _RHO_MIN, _RHO_MAX)
+            rho_c_n = jnp.clip(rhos[2] * s_eff, _RHO_MIN, _RHO_MAX)
+            rho_d_n = rho_d_n * dyn_valid + (1 - dyn_valid) * _RHO_MIN
+            rhos = (rho_x_n, rho_d_n, rho_c_n)
+        return it, carry, rhos, done
+
+    it, carry, rhos, done = jax.lax.while_loop(
+        ocond, obody, (jnp.asarray(0, jnp.int32), carry0, rhos0, done0)
     )
     x, zx, zd, zc, yx, yd, yc = carry
     x_u = Dv * x

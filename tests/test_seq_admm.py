@@ -125,3 +125,23 @@ def test_seq_parallel_ruiz_matches_single_device(seed, N, w, r, r2):
     np.testing.assert_allclose(
         np.asarray(x).reshape(-1), np.asarray(ref.x), atol=5e-3
     )
+
+
+def test_seq_parallel_adaptive_rho_matches_banded():
+    """Round-based distributed rho adaptation: same rule, same cadence, and
+    the same answers as the single-device banded path with adaptation on."""
+    st = SET.replace(adaptive_rho=True, adaptive_rho_interval=50, rho=1e-3)
+    mesh = make_mesh(("h",))
+    qp = random_stage_qp(4, 16, 4, 3, 1)
+    ref = admm_solve_banded(qp, st)
+    assert bool(ref.converged)
+    x, iters, done = admm_solve_seq_parallel(
+        to_sharded(qp), st, mesh=mesh, axis="h"
+    )
+    assert bool(done)
+    np.testing.assert_allclose(
+        np.asarray(x).reshape(-1), np.asarray(ref.x), atol=5e-3
+    )
+    # A deliberately bad rho start must still converge via adaptation well
+    # before max_iter.
+    assert int(iters) < st.max_iter
