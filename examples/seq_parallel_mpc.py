@@ -45,8 +45,10 @@ def main():
     lx[0] = frame
     ux[0] = frame
     ref = np.full((H, 1), np.pi, np.float32)
+    # Round-based distributed rho adaptation recovers from a poor rho start
+    # (each round refactorizes the SPIKE partition with the rescaled rho).
     admm = ADMMSettings(
-        eps_abs=1e-3, eps_rel=1e-3, adaptive_rho=False, rho=0.05, max_iter=2000
+        eps_abs=1e-3, eps_rel=1e-3, adaptive_rho=True, rho=0.05, max_iter=2000
     )
 
     # NOTE: run the 2-D layout first, then the 1-D solve on a submesh —
