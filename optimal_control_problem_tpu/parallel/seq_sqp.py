@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solvers.admm import ADMMSettings, f32_matmuls
@@ -54,6 +55,10 @@ def sqp_solve_seq_parallel(
     axis: str = "h",
     batch_axis: str | None = None,
     hessian_reg: float = 1e-6,
+    line_search: str = "none",
+    ls_num: int = 8,
+    ls_alpha_max: float = 1.0,
+    ls_merit_mu: float = 10.0,
 ):
     """Run ``sqp_iters`` damped SQP iterations with everything sharded over
     ``mesh[axis]``.  Returns the final trajectory (N, w), or (B, N, w) when
@@ -79,6 +84,7 @@ def sqp_solve_seq_parallel(
 
     stage_hess = jax.vmap(jax.hessian(ss.stage_cost))
     stage_grad = jax.vmap(jax.grad(ss.stage_cost))
+    stage_cost_v = jax.vmap(ss.stage_cost)
     if ss.dynamics is not None:
         dyn_val = jax.vmap(ss.dynamics)
         dyn_j0 = jax.vmap(jax.jacfwd(ss.dynamics, argnums=0))
@@ -164,7 +170,41 @@ def sqp_solve_seq_parallel(
                 sync_axes=sync_axes,
                 warm=warm,
             )
-            return (x_l + alpha * dx, warm_out), it[0]
+            if line_search == "none":
+                x_new = x_l + alpha * dx
+            else:
+                # Distributed merit line search (same L1 exact-penalty rule
+                # as solvers/sqp._make_step_rule): each device sums its
+                # stages' merit contribution for every candidate, one psum
+                # over the horizon axis reduces them, and argmin on the
+                # replicated result picks the same step everywhere.
+                al = jnp.asarray(
+                    ls_alpha_max * (0.5 ** np.arange(ls_num)), dtype
+                )
+                cand = x_l[None] + al[:, None, None] * dx[None]  # (K, C, w)
+
+                def local_merit(xc):
+                    fv = jnp.sum(stage_cost_v(xc, ref_l, ks))
+                    viol = jnp.sum(
+                        jnp.maximum(lx_l - xc, 0.0)
+                        + jnp.maximum(xc - ux_l, 0.0)
+                    )
+                    if r:
+                        nxt = left_shift(xc[0])
+                        xc_next = jnp.concatenate([xc[1:], nxt[None]], 0)
+                        resid = dyn_val(xc, xc_next) * valid
+                        viol = viol + jnp.sum(jnp.abs(resid))
+                    if r2:
+                        scv = sc_val(xc, ref_l, ks)
+                        viol = viol + jnp.sum(
+                            jnp.maximum(sc_lb[None] - scv, 0.0)
+                            + jnp.maximum(scv - sc_ub[None], 0.0)
+                        )
+                    return fv + ls_merit_mu * viol
+
+                merits = jax.lax.psum(jax.vmap(local_merit)(cand), axis)
+                x_new = x_l + al[jnp.argmin(merits)] * dx
+            return (x_new, warm_out), it[0]
 
         warm0 = (
             x_l * 0.0,

@@ -165,3 +165,35 @@ def test_seq_sqp_2d_mesh_batch_by_horizon():
             np.asarray(x2d[b]), np.asarray(x1d), atol=5e-3,
             err_msg=f"scenario {b}",
         )
+
+
+def test_seq_sqp_merit_line_search():
+    """Distributed merit line search: converges at least as well as the
+    fixed step at identical SQP budget, and stays finite."""
+    mesh = make_mesh(("h",))
+    ss, lx, ux, ref = problem()
+    x0 = np.zeros((H, cartpole.FRAME), np.float32)
+    common = dict(sqp_iters=SQP_ITERS, admm=ADMM, mesh=mesh, axis="h")
+    x_fixed, _ = sqp_solve_seq_parallel(
+        ss, jnp.asarray(x0), jnp.asarray(ref), jnp.asarray(lx),
+        jnp.asarray(ux), alpha=ALPHA, **common,
+    )
+    x_ls, _ = sqp_solve_seq_parallel(
+        ss, jnp.asarray(x0), jnp.asarray(ref), jnp.asarray(lx),
+        jnp.asarray(ux), alpha=ALPHA, line_search="merit", **common,
+    )
+    assert np.isfinite(np.asarray(x_ls)).all()
+
+    def merit(x):
+        import jax as _jax
+        frames = jnp.asarray(x)
+        ks = jnp.arange(H)
+        fv = jnp.sum(_jax.vmap(ss.stage_cost)(frames, jnp.asarray(ref), ks))
+        dynres = _jax.vmap(ss.dynamics)(frames[:-1], frames[1:])
+        viol = jnp.sum(jnp.abs(dynres))
+        viol += jnp.sum(jnp.maximum(jnp.asarray(lx) - frames, 0)
+                        + jnp.maximum(frames - jnp.asarray(ux), 0))
+        return float(fv + 10.0 * viol)
+
+    # The line-searched iterate must be at least as good in merit.
+    assert merit(np.asarray(x_ls)) <= merit(np.asarray(x_fixed)) + 1e-3
