@@ -429,6 +429,45 @@ def admm_solve_banded(
     it, x, z, y, rho_v, fac, done, pinf, dinf, r_prim, r_dual = (
         jax.lax.while_loop(cond_fn, body_fn, state)
     )
+
+    if st.polish:
+        # Active-set polish with block structure (the OSQP ``polish.c``
+        # analog of the dense solver's masked-KKT re-solve): rows whose
+        # dual sits on a bound with matching sign are pinned via a
+        # 1/delta penalty in the SAME block-tridiagonal operator family,
+        # and two augmented-Lagrangian sweeps remove the O(delta) bias
+        # (constraint violation falls to O(delta^2)).  Accepted only if
+        # both unscaled residuals improve.
+        delta = jnp.asarray(st.polish_delta, dtype)
+        lower_act = y < 0.0
+        upper_act = y > 0.0
+        active = jnp.logical_or(lower_act, upper_act)
+        b_act = jnp.where(upper_act, u, jnp.where(lower_act, l, 0.0))
+        rho_pol = jnp.where(active, 1.0 / delta, jnp.asarray(0.0, dtype))
+        diag_p, lower_p = _build_M_blocks(qp, rho_pol, delta)
+        fac_p = factor(diag_p, lower_p)
+
+        def al_sweep(carry, _):
+            nu, _xp = carry
+            rhs = -q + _apply_AT(
+                qp, (rho_pol * b_act - nu)
+            ).reshape(-1)
+            x_p = solve(fac_p, rhs.reshape(N, w)).reshape(-1)
+            Axp = _apply_A(qp, x_p.reshape(N, w))
+            nu = nu + jnp.where(active, rho_pol * (Axp - b_act), 0.0)
+            return (nu, x_p), None
+
+        (nu, x_p), _ = jax.lax.scan(
+            al_sweep, (jnp.zeros((m,), dtype), x), None, length=2
+        )
+        y_p = jnp.where(active, nu, 0.0)
+        z_p = jnp.clip(_apply_A(qp, x_p.reshape(N, w)), l, u)
+        rp_p, rd_p, _, _, _, _ = residuals(x_p, z_p, y_p)
+        better = jnp.logical_and(rp_p <= r_prim, rd_p <= r_dual)
+        pick = lambda a, b: jnp.where(better, a, b)
+        x, y, z = pick(x_p, x), pick(y_p, y), pick(z_p, z)
+        r_prim, r_dual = pick(rp_p, r_prim), pick(rd_p, r_dual)
+
     return QPSolution(
         x=D * x,
         y=E * y * cinv,

@@ -254,3 +254,27 @@ def test_banded_infeasible_qp_certificate():
     assert bool(sol.prim_inf)
     assert not bool(sol.dual_inf)
     assert int(sol.iters) < 2000
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_banded_polish_improves_accuracy(seed):
+    """Active-set polish lifts the banded solution from the 1e-3 ADMM
+    tolerance toward f32 precision, matching the dense polished solve."""
+    qp = random_stage_qp(seed)
+    loose = ADMMSettings(
+        eps_abs=1e-3, eps_rel=1e-3, method="condensed",
+        scaling_iters=10, adaptive_rho=True,
+    )
+    plain = admm_solve_banded(qp, loose)
+    polished = admm_solve_banded(qp, loose.replace(polish=True))
+    assert bool(polished.converged)
+    # Tight ground truth from the dense solver.
+    P, A = dense_equivalent(qp)
+    truth = admm_solve(
+        jnp.asarray(P), qp.q, jnp.asarray(A), qp.l, qp.u,
+        loose.replace(eps_abs=1e-6, eps_rel=1e-6, polish=True),
+    )
+    err_plain = float(np.max(np.abs(np.asarray(plain.x) - np.asarray(truth.x))))
+    err_pol = float(np.max(np.abs(np.asarray(polished.x) - np.asarray(truth.x))))
+    assert err_pol <= err_plain
+    assert err_pol < 5e-4
