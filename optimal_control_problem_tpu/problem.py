@@ -406,14 +406,14 @@ class OptimalControlProblem:
             if st.formulation != "reduced":
                 st.formulation = "reduced"
             parts = build_stagewise_parts(ss, st.dtype, "auto")
-            # Long horizons: the block-tridiagonal QP path is O(N w^3)
-            # against the dense operator's O(N^3 w^3) and wins >10x at
-            # horizon 100 (see docs/PERFORMANCE.md); make it the default
-            # when the user did not pin a method.
+            # The block-tridiagonal QP path is O(N w^3) against the dense
+            # operator's O(N^3 w^3) and measured faster at EVERY horizon
+            # (cart-pole h8: 1.7x, h20: 1.5x, quadrotor h100: >12x — see
+            # docs/PERFORMANCE.md); make it the default whenever a stage
+            # structure is registered and the user did not pin a method.
             if (
                 not getattr(st, "admm_method_explicit", True)
                 and st.admm.method == "kkt"
-                and self.ocp_config.get_horizon() >= 50
             ):
                 st.admm = st.admm.replace(method="banded")
         else:
