@@ -140,6 +140,34 @@ def main():
             ticks,
         )
 
+    if "cartpole_banded" in which or "cartpole" in which:
+        frames = np.zeros((B_nl, cartpole.FRAME), np.float32)
+        frames[:, 2] = rng.uniform(-0.5, 0.5, B_nl).astype(np.float32)
+        refs = np.full((B_nl, 1), np.pi, np.float32)
+        bench_model(
+            "cartpole_h20_banded",
+            lambda: cartpole.build(
+                cartpole.make_config(
+                    horizon=20,
+                    dt=0.04,
+                    alpha=0.3,
+                    step_num=10,
+                    formulation="reduced",
+                    ADMM_settings={
+                        "method": "banded",
+                        "max_iter": 500,
+                        "adaptive_rho": False,
+                        "rho": 0.05,
+                    },
+                ),
+                stagewise=True,
+            ),
+            frames,
+            refs,
+            B_nl,
+            ticks,
+        )
+
     if "cartpole_pallas" in which or "cartpole" in which:
         frames = np.zeros((B_nl, cartpole.FRAME), np.float32)
         frames[:, 2] = rng.uniform(-0.5, 0.5, B_nl).astype(np.float32)
