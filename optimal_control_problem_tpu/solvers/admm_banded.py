@@ -364,6 +364,55 @@ def admm_solve_banded(
         )
         return prim_inf, dual_inf
 
+    # Round-based iteration (see solvers/admm.py): rho/factorization stay
+    # constant for one adaptation interval, adaptation happens BETWEEN
+    # rounds — a per-check-block lax.cond would evaluate both branches
+    # under vmap, refactorizing every 25 iterations for every scenario
+    # (measured 3.8x slower on cart-pole h20 B=256).
+    if st.adaptive_rho:
+        interval = max(st.adaptive_rho_interval, st.check_every)
+        interval = (
+            (interval + st.check_every - 1) // st.check_every
+        ) * st.check_every
+    else:
+        interval = st.max_iter
+
+    def run_round(rho, fac, it0, x, z, y, done, pinf, dinf):
+        def icond(s):
+            k, x, z, y, done, pinf, dinf, rp, rd, rpr, rdr = s
+            stop = jnp.logical_or(done, jnp.logical_or(pinf, dinf))
+            return jnp.logical_and(
+                k < interval,
+                jnp.logical_and(it0 + k < st.max_iter, jnp.logical_not(stop)),
+            )
+
+        def ibody(s):
+            k, x, z, y, done, pinf, dinf, _, _, _, _ = s
+            x_old, y_old = x, y
+            (x, z, y, _, _), _ = jax.lax.scan(
+                one_iter, (x, z, y, rho, fac), None, length=st.check_every
+            )
+            r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel = residuals(
+                x, z, y
+            )
+            done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+            if st.check_infeasibility:
+                pinf, dinf = infeasibility_certificates(x - x_old, y - y_old)
+                pinf = jnp.logical_and(pinf, jnp.logical_not(done))
+                dinf = jnp.logical_and(dinf, jnp.logical_not(done))
+            return (
+                k + st.check_every, x, z, y, done, pinf, dinf,
+                r_prim, r_dual, rp_rel, rd_rel,
+            )
+
+        big = jnp.asarray(jnp.inf, dtype)
+        return jax.lax.while_loop(
+            icond,
+            ibody,
+            (jnp.asarray(0, jnp.int32), x, z, y, done, pinf, dinf,
+             big, big, big, big),
+        )
+
     def cond_fn(state):
         it, x, z, y, rho, fac, done, pinf, dinf, rp, rd = state
         stop = jnp.logical_or(done, jnp.logical_or(pinf, dinf))
@@ -371,18 +420,10 @@ def admm_solve_banded(
 
     def body_fn(state):
         it, x, z, y, rho, fac, done, pinf, dinf, _, _ = state
-        x_old, y_old = x, y
-        (x, z, y, rho, fac), _ = jax.lax.scan(
-            one_iter, (x, z, y, rho, fac), None, length=st.check_every
+        k, x, z, y, done, pinf, dinf, r_prim, r_dual, rp_rel, rd_rel = (
+            run_round(rho, fac, it, x, z, y, done, pinf, dinf)
         )
-        it = it + st.check_every
-        r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel = residuals(x, z, y)
-        done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
-        if st.check_infeasibility:
-            pinf, dinf = infeasibility_certificates(x - x_old, y - y_old)
-            pinf = jnp.logical_and(pinf, jnp.logical_not(done))
-            dinf = jnp.logical_and(dinf, jnp.logical_not(done))
-
+        it = it + k
         if st.adaptive_rho:
             def maybe_adapt(args):
                 rho, fac = args
@@ -405,10 +446,7 @@ def admm_solve_banded(
                     None,
                 )
 
-            do_adapt = (it % st.adaptive_rho_interval) < st.check_every
-            rho, fac = jax.lax.cond(
-                do_adapt, maybe_adapt, lambda a: a, (rho, fac)
-            )
+            rho, fac = maybe_adapt((rho, fac))
         return (it, x, z, y, rho, fac, done, pinf, dinf, r_prim, r_dual)
 
     inf = jnp.asarray(jnp.inf, dtype)
