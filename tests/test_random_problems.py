@@ -124,3 +124,60 @@ def test_random_lq_kkt_and_host_agreement(seed):
     # directions at QP tolerance).
     f_tpu = float(f_fn(jnp.asarray(x_tpu), jnp.asarray(target, jnp.float32)))
     assert abs(f_tpu - float(host["f"])) <= 1e-3 * max(1.0, abs(float(host["f"])))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_infeasible_qp_certified(seed):
+    """Random QP + a pair of contradictory rows: prim_inf must trigger."""
+    from optimal_control_problem_tpu.solvers.admm import ADMMSettings, admm_solve
+
+    rng = np.random.default_rng(100 + seed)
+    n, m = 6, 8
+    L = rng.normal(size=(n, n))
+    P = (L @ L.T + 0.5 * np.eye(n)).astype(np.float32)
+    q = rng.normal(size=n).astype(np.float32)
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    l = (A @ rng.normal(size=n) - 1.0).astype(np.float32)
+    u = l + 2.0
+    # Contradiction: duplicate row 0 with a disjoint equality band.
+    A = np.vstack([A, A[0:1]]).astype(np.float32)
+    l = np.concatenate([l, [u[0] + 5.0]]).astype(np.float32)
+    u = np.concatenate([u, [u[0] + 5.0]]).astype(np.float32)
+    l[0] = u[0] - 0.0  # row 0 equality at u[0]; row m demands u[0]+5
+
+    sol = admm_solve(
+        *map(jnp.asarray, (P, q, A, l, u)),
+        ADMMSettings(method="condensed", max_iter=4000),
+    )
+    assert not bool(sol.converged), seed
+    assert bool(sol.prim_inf), seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_unbounded_qp_certified(seed):
+    """PSD P with a null direction that q pushes along and constraints
+    leave open: dual_inf must trigger."""
+    from optimal_control_problem_tpu.solvers.admm import ADMMSettings, admm_solve
+
+    rng = np.random.default_rng(200 + seed)
+    n = 5
+    # P has a null space spanned by e_n.
+    L = rng.normal(size=(n - 1, n - 1))
+    P = np.zeros((n, n), np.float32)
+    P[: n - 1, : n - 1] = (L @ L.T + 0.5 * np.eye(n - 1)).astype(np.float32)
+    q = np.zeros(n, np.float32)
+    q[-1] = 1.0  # pushes x_n -> -inf
+    # Constraints only touch the first n-1 coordinates.
+    A = np.concatenate(
+        [rng.normal(size=(3, n - 1)).astype(np.float32), np.zeros((3, 1), np.float32)],
+        axis=1,
+    )
+    c = A[:, : n - 1] @ rng.normal(size=n - 1)
+    l = (c - 1.0).astype(np.float32)
+    u = (c + 1.0).astype(np.float32)
+    sol = admm_solve(
+        *map(jnp.asarray, (P, q, A, l, u)),
+        ADMMSettings(method="condensed", max_iter=4000),
+    )
+    assert not bool(sol.converged), seed
+    assert bool(sol.dual_inf), seed
