@@ -260,7 +260,14 @@ def main():
                     alpha=0.3,
                     step_num=5,
                     formulation="reduced",
-                    ADMM_settings={"method": "banded", "max_iter": 250},
+                    # Tuned fixed rho: 357 solves/s vs 182 with adaptive
+                    # rho on (see docs/TUNING.md section 4b).
+                    ADMM_settings={
+                        "method": "banded",
+                        "max_iter": 250,
+                        "adaptive_rho": False,
+                        "rho": 0.05,
+                    },
                 ),
                 stagewise=True,
             ),
