@@ -45,7 +45,14 @@ from .admm import (
     f32_matmuls,
 )
 
-__all__ = ["BandedQP", "admm_solve_banded", "ruiz_equilibrate_banded"]
+__all__ = [
+    "BandedQP",
+    "admm_solve_banded",
+    "ruiz_equilibrate_banded",
+    "banded_residuals",
+    "banded_certificates",
+    "banded_polish",
+]
 
 
 class BandedQP(NamedTuple):
@@ -228,6 +235,154 @@ def _build_M_blocks(qp: BandedQP, rho_v, sigma):
     return diag, lower
 
 
+def banded_residuals(qp: BandedQP, x, z, y, Einv, Dinv, cinv, st: ADMMSettings):
+    """OSQP unscaled residuals/tolerances from stage blocks.
+
+    ``x``: (n,) scaled iterate; ``z``/``y``: (m,) scaled; ``Einv``/``Dinv``:
+    row/variable inverse scalings; ``cinv``: inverse cost scaling.  Returns
+    ``(r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel)``.  Shared by the
+    per-scenario XLA loop and the batch-native chunk driver.
+    """
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    Ax = _apply_A(qp, x.reshape(N, w))
+    Px = _apply_P(qp, x.reshape(N, w)).reshape(-1)
+    Aty = _apply_AT(qp, y).reshape(-1)
+    q = qp.q
+    r_prim = jnp.max(jnp.abs((Ax - z) * Einv))
+    r_dual = cinv * jnp.max(jnp.abs((Px + q + Aty) * Dinv))
+    max_prim = jnp.maximum(
+        jnp.max(jnp.abs(Ax * Einv)), jnp.max(jnp.abs(z * Einv))
+    )
+    max_dual = cinv * jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Aty * Dinv)), jnp.max(jnp.abs(Px * Dinv))),
+        jnp.max(jnp.abs(q * Dinv)),
+    )
+    eps_pri = st.eps_abs + st.eps_rel * max_prim
+    eps_dua = st.eps_abs + st.eps_rel * max_dual
+    rp_rel = r_prim / jnp.maximum(max_prim, 1e-12)
+    rd_rel = r_dual / jnp.maximum(max_dual, 1e-12)
+    return r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel
+
+
+def banded_certificates(qp: BandedQP, dx_s, dy_s, D, E, cinv, st: ADMMSettings):
+    """OSQP delta-iterate infeasibility certificates on UNSCALED quantities.
+
+    ``dx_s``/``dy_s`` are scaled iterate deltas over one check block.  With
+    A_s = E A D, P_s = c D P D, q_s = c D q and the structural matvecs
+    operating on the scaled blocks:
+
+        dy_u       = E dy_s / c            (unscaled dual delta)
+        A^T dy_u   = (1/c) D^{-1} A_s^T dy_s
+        dx_u       = D dx_s
+        P dx_u     = (1/c) D^{-1} P_s dx_s
+        q . dx_u   = (1/c) q_s . dx_s
+        A dx_u     = E^{-1} A_s dx_s
+
+    Mirrors the dense version in ``.admm._admm_solve_impl``.
+    """
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    dtype = qp.Hb.dtype
+    l, u, q = qp.l, qp.u, qp.q
+    Dinv, Einv = 1.0 / D, 1.0 / E
+    tiny = jnp.asarray(1e-12, dtype)
+    # -- primal infeasibility via dy.
+    dy_u = E * dy_s * cinv
+    ndy = jnp.max(jnp.abs(dy_u))
+    lu, uu = l * Einv, u * Einv  # original bounds
+    dy_p = jnp.maximum(dy_u, 0.0)
+    dy_m = jnp.minimum(dy_u, 0.0)
+    support = jnp.sum(
+        jnp.where(dy_p > 0, uu * dy_p, 0.0)
+        + jnp.where(dy_m < 0, lu * dy_m, 0.0)
+    )
+    n_Atdy = cinv * jnp.max(jnp.abs(Dinv * _apply_AT(qp, dy_s).reshape(-1)))
+    prim_inf = jnp.logical_and(
+        ndy > tiny,
+        jnp.logical_and(
+            support < -st.eps_prim_inf * ndy,
+            n_Atdy < st.eps_prim_inf * ndy,
+        ),
+    )
+    # -- dual infeasibility via dx.
+    dx_u = D * dx_s
+    ndx = jnp.max(jnp.abs(dx_u))
+    thr = st.eps_dual_inf * ndx
+    cond_q = cinv * (q @ dx_s) < -thr
+    cond_P = (
+        cinv
+        * jnp.max(jnp.abs(Dinv * _apply_P(qp, dx_s.reshape(N, w)).reshape(-1)))
+        < thr
+    )
+    Adx = Einv * _apply_A(qp, dx_s.reshape(N, w))
+    cond_A = jnp.logical_and(
+        jnp.all(jnp.where(uu < jnp.inf, Adx < thr, True)),
+        jnp.all(jnp.where(lu > -jnp.inf, Adx > -thr, True)),
+    )
+    dual_inf = jnp.logical_and(
+        ndx > tiny,
+        jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
+    )
+    return prim_inf, dual_inf
+
+
+def banded_polish(
+    qp: BandedQP,
+    st: ADMMSettings,
+    factor,
+    solve,
+    x,
+    y,
+    z,
+    r_prim,
+    r_dual,
+    Einv,
+    Dinv,
+    cinv,
+):
+    """Active-set polish with block structure (the OSQP ``polish.c`` analog
+    of the dense solver's masked-KKT re-solve): rows whose dual sits on a
+    bound with matching sign are pinned via a 1/delta penalty in the SAME
+    block-tridiagonal operator family, and two augmented-Lagrangian sweeps
+    remove the O(delta) bias (constraint violation falls to O(delta^2)).
+    Accepted only if both unscaled residuals improve.  All quantities are
+    in SCALED space; returns updated ``(x, y, z, r_prim, r_dual)``.
+    """
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    m = qp.l.shape[0]
+    dtype = qp.Hb.dtype
+    l, u, q = qp.l, qp.u, qp.q
+    delta = jnp.asarray(st.polish_delta, dtype)
+    lower_act = y < 0.0
+    upper_act = y > 0.0
+    active = jnp.logical_or(lower_act, upper_act)
+    b_act = jnp.where(upper_act, u, jnp.where(lower_act, l, 0.0))
+    rho_pol = jnp.where(active, 1.0 / delta, jnp.asarray(0.0, dtype))
+    diag_p, lower_p = _build_M_blocks(qp, rho_pol, delta)
+    fac_p = factor(diag_p, lower_p)
+
+    def al_sweep(carry, _):
+        nu, _xp = carry
+        rhs = -q + _apply_AT(qp, (rho_pol * b_act - nu)).reshape(-1)
+        x_p = solve(fac_p, rhs.reshape(N, w)).reshape(-1)
+        Axp = _apply_A(qp, x_p.reshape(N, w))
+        nu = nu + jnp.where(active, rho_pol * (Axp - b_act), 0.0)
+        return (nu, x_p), None
+
+    (nu, x_p), _ = jax.lax.scan(
+        al_sweep, (jnp.zeros((m,), dtype), x), None, length=2
+    )
+    y_p = jnp.where(active, nu, 0.0)
+    z_p = jnp.clip(_apply_A(qp, x_p.reshape(N, w)), l, u)
+    rp_p, rd_p, _, _, _, _ = banded_residuals(
+        qp, x_p, z_p, y_p, Einv, Dinv, cinv, st
+    )
+    better = jnp.logical_and(rp_p <= r_prim, rd_p <= r_dual)
+    pick = lambda a, b: jnp.where(better, a, b)
+    x, y, z = pick(x_p, x), pick(y_p, y), pick(z_p, z)
+    r_prim, r_dual = pick(rp_p, r_prim), pick(rd_p, r_dual)
+    return x, y, z, r_prim, r_dual
+
+
 @partial(jax.jit, static_argnames=("settings",))
 @f32_matmuls
 def admm_solve_banded(
@@ -288,81 +443,10 @@ def admm_solve_banded(
     def residuals(x, z, y):
         # Unscaled residuals (OSQP): divide rows by E, variables by D,
         # dual quantities additionally by the cost scaling c.
-        Ax = _apply_A(qp, x.reshape(N, w))
-        Px = _apply_P(qp, x.reshape(N, w)).reshape(-1)
-        Aty = _apply_AT(qp, y).reshape(-1)
-        r_prim = jnp.max(jnp.abs((Ax - z) * Einv))
-        r_dual = cinv * jnp.max(jnp.abs((Px + q + Aty) * Dinv))
-        max_prim = jnp.maximum(
-            jnp.max(jnp.abs(Ax * Einv)), jnp.max(jnp.abs(z * Einv))
-        )
-        max_dual = cinv * jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(Aty * Dinv)), jnp.max(jnp.abs(Px * Dinv))),
-            jnp.max(jnp.abs(q * Dinv)),
-        )
-        eps_pri = st.eps_abs + st.eps_rel * max_prim
-        eps_dua = st.eps_abs + st.eps_rel * max_dual
-        rp_rel = r_prim / jnp.maximum(max_prim, 1e-12)
-        rd_rel = r_dual / jnp.maximum(max_dual, 1e-12)
-        return r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel
+        return banded_residuals(qp, x, z, y, Einv, Dinv, cinv, st)
 
     def infeasibility_certificates(dx_s, dy_s):
-        """OSQP delta-iterate certificate tests on UNSCALED quantities.
-
-        ``dx_s``/``dy_s`` are scaled deltas over one check block.  With
-        A_s = E A D, P_s = c D P D, q_s = c D q and the structural matvecs
-        operating on the scaled blocks:
-
-            dy_u       = E dy_s / c            (unscaled dual delta)
-            A^T dy_u   = (1/c) D^{-1} A_s^T dy_s
-            dx_u       = D dx_s
-            P dx_u     = (1/c) D^{-1} P_s dx_s
-            q . dx_u   = (1/c) q_s . dx_s
-            A dx_u     = E^{-1} A_s dx_s
-
-        Mirrors the dense version in ``.admm._admm_solve_impl``.
-        """
-        tiny = jnp.asarray(1e-12, dtype)
-        # -- primal infeasibility via dy.
-        dy_u = E * dy_s * cinv
-        ndy = jnp.max(jnp.abs(dy_u))
-        lu, uu = l * Einv, u * Einv  # original bounds
-        dy_p = jnp.maximum(dy_u, 0.0)
-        dy_m = jnp.minimum(dy_u, 0.0)
-        support = jnp.sum(
-            jnp.where(dy_p > 0, uu * dy_p, 0.0)
-            + jnp.where(dy_m < 0, lu * dy_m, 0.0)
-        )
-        n_Atdy = cinv * jnp.max(
-            jnp.abs(Dinv * _apply_AT(qp, dy_s).reshape(-1))
-        )
-        prim_inf = jnp.logical_and(
-            ndy > tiny,
-            jnp.logical_and(
-                support < -st.eps_prim_inf * ndy,
-                n_Atdy < st.eps_prim_inf * ndy,
-            ),
-        )
-        # -- dual infeasibility via dx.
-        dx_u = D * dx_s
-        ndx = jnp.max(jnp.abs(dx_u))
-        thr = st.eps_dual_inf * ndx
-        cond_q = cinv * (q @ dx_s) < -thr
-        cond_P = (
-            cinv
-            * jnp.max(jnp.abs(Dinv * _apply_P(qp, dx_s.reshape(N, w)).reshape(-1)))
-            < thr
-        )
-        Adx = Einv * _apply_A(qp, dx_s.reshape(N, w))
-        cond_A = jnp.logical_and(
-            jnp.all(jnp.where(uu < jnp.inf, Adx < thr, True)),
-            jnp.all(jnp.where(lu > -jnp.inf, Adx > -thr, True)),
-        )
-        dual_inf = jnp.logical_and(
-            ndx > tiny,
-            jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
-        )
-        return prim_inf, dual_inf
+        return banded_certificates(qp, dx_s, dy_s, D, E, cinv, st)
 
     # Round-based iteration (see solvers/admm.py): rho/factorization stay
     # constant for one adaptation interval, adaptation happens BETWEEN
@@ -469,42 +553,10 @@ def admm_solve_banded(
     )
 
     if st.polish:
-        # Active-set polish with block structure (the OSQP ``polish.c``
-        # analog of the dense solver's masked-KKT re-solve): rows whose
-        # dual sits on a bound with matching sign are pinned via a
-        # 1/delta penalty in the SAME block-tridiagonal operator family,
-        # and two augmented-Lagrangian sweeps remove the O(delta) bias
-        # (constraint violation falls to O(delta^2)).  Accepted only if
-        # both unscaled residuals improve.
-        delta = jnp.asarray(st.polish_delta, dtype)
-        lower_act = y < 0.0
-        upper_act = y > 0.0
-        active = jnp.logical_or(lower_act, upper_act)
-        b_act = jnp.where(upper_act, u, jnp.where(lower_act, l, 0.0))
-        rho_pol = jnp.where(active, 1.0 / delta, jnp.asarray(0.0, dtype))
-        diag_p, lower_p = _build_M_blocks(qp, rho_pol, delta)
-        fac_p = factor(diag_p, lower_p)
-
-        def al_sweep(carry, _):
-            nu, _xp = carry
-            rhs = -q + _apply_AT(
-                qp, (rho_pol * b_act - nu)
-            ).reshape(-1)
-            x_p = solve(fac_p, rhs.reshape(N, w)).reshape(-1)
-            Axp = _apply_A(qp, x_p.reshape(N, w))
-            nu = nu + jnp.where(active, rho_pol * (Axp - b_act), 0.0)
-            return (nu, x_p), None
-
-        (nu, x_p), _ = jax.lax.scan(
-            al_sweep, (jnp.zeros((m,), dtype), x), None, length=2
+        x, y, z, r_prim, r_dual = banded_polish(
+            qp, st, factor, solve, x, y, z, r_prim, r_dual,
+            Einv, Dinv, cinv,
         )
-        y_p = jnp.where(active, nu, 0.0)
-        z_p = jnp.clip(_apply_A(qp, x_p.reshape(N, w)), l, u)
-        rp_p, rd_p, _, _, _, _ = residuals(x_p, z_p, y_p)
-        better = jnp.logical_and(rp_p <= r_prim, rd_p <= r_dual)
-        pick = lambda a, b: jnp.where(better, a, b)
-        x, y, z = pick(x_p, x), pick(y_p, y), pick(z_p, z)
-        r_prim, r_dual = pick(rp_p, r_prim), pick(rd_p, r_dual)
 
     return QPSolution(
         x=D * x,

@@ -1,0 +1,393 @@
+"""Batch-native banded ADMM: whole-batch solves through the fused Pallas chunk.
+
+``jax.vmap(admm_solve_banded)`` is semantically right but maps each scenario
+to its own Pallas-free XLA while-loop whose ~2N sequential block-sweep steps
+are launch-overhead bound (docs/PERFORMANCE.md, "Next steps").  This driver
+instead keeps the WHOLE scenario batch inside one kernel invocation per
+rho-constant chunk (``ops/banded_kernel.py``), with every hot-loop array in
+batch-LAST layout so the scenario batch fills the TPU's 128-wide lanes.
+
+Division of labor per solve:
+
+* prepare (XLA, batch-leading, once): Ruiz equilibration, per-row rho,
+  block-Thomas factorization — all ``jax.vmap`` of the per-scenario pieces
+  from :mod:`.admm_banded` / :mod:`..ops.block_tridiag`;
+* iterate (Pallas, batch-last): up to ``adaptive_rho_interval`` iterations
+  per kernel entry with per-scenario OSQP termination checks;
+* between chunks (XLA): infeasibility certificates on chunk deltas and
+  OSQP adaptive rho with refactorization — the same adapt-every-interval
+  semantics as the dense ``backend="pallas"`` path in :mod:`.admm`;
+* finish (XLA): optional active-set polish (``banded_polish``), unscaling.
+
+Semantics match ``jax.vmap(admm_solve_banded)`` with ``banded_solver=
+"thomas"``, except that infeasibility certificates are evaluated once per
+chunk instead of once per check block (exactly like the dense Pallas path).
+
+Reference analog: OSQP's CUDA backend driven through CuCaQP
+(``sqp_solver/CuCaQP.cpp:271-288``) solves ONE QP at a time; batched
+scenario MPC is a capability the reference does not have at all
+(SURVEY.md section 2, "Parallelism").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.banded_kernel import banded_admm_chunk
+from ..ops.block_tridiag import btd_factor, btd_solve
+from .admm import ADMMSettings, QPSolution, _RHO_MAX, _RHO_MIN, f32_matmuls
+from .admm_banded import (
+    BandedQP,
+    _build_M_blocks,
+    _rho_vec,
+    banded_certificates,
+    banded_polish,
+    ruiz_equilibrate_banded,
+)
+
+__all__ = ["admm_solve_banded_batch", "pick_batch_tile"]
+
+
+def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
+    """Batch tile whose chunk-kernel working set fits in VMEM, or None.
+
+    Counts input blocks + vectors + while-carry copies + scratch, with a
+    ~10 MB budget out of the ~16 MB/core.  Mosaic requires the batch block
+    dim to be a multiple of 128 (the lane width) or equal to the full
+    array dim, so the choice is: the whole batch as one program if it
+    fits, else the largest fitting multiple of 128, else None — in which
+    case the driver falls back to the vmapped XLA loop (the kernel's
+    working set simply does not fit on-chip for that problem size).
+    """
+    nd = N - 1
+    floats = (
+        4 * N * w * w  # dinv, Hb, (g ~ N w^2), + slack
+        + 2 * nd * r * w
+        + N * r2 * w
+        + 18 * N * w
+        + 12 * nd * r
+        + 12 * N * r2
+    )
+    budget = 10 * 1024 * 1024 // 4
+    if max(B, 1) * floats <= budget:
+        return max(B, 1)
+    for tile in (512, 384, 256, 128):
+        if tile <= B and tile * floats <= budget:
+            return tile
+    return None
+
+
+def _split_rows(v, N, w, r, r2):
+    """(B, m) flat rows [x; dyn; sc] -> per-section (B, ...) arrays."""
+    B = v.shape[0]
+    n = N * w
+    nd = N - 1
+    vx = v[:, :n].reshape(B, N, w)
+    vd = v[:, n : n + nd * r].reshape(B, nd, r)
+    vc = v[:, n + nd * r :].reshape(B, N, r2)
+    return vx, vd, vc
+
+
+def _join_rows(vx, vd, vc):
+    B = vx.shape[0]
+    return jnp.concatenate(
+        [vx.reshape(B, -1), vd.reshape(B, -1), vc.reshape(B, -1)], axis=1
+    )
+
+
+def _t(a):
+    """Batch-leading -> batch-last."""
+    return jnp.moveaxis(a, 0, -1)
+
+
+def _ut(a):
+    """Batch-last -> batch-leading."""
+    return jnp.moveaxis(a, -1, 0)
+
+
+def _pad_sections(qp: BandedQP, y0, N, w):
+    """Ensure r >= 1 and r2 >= 1 by inserting all-zero Jacobian rows with
+    loose bounds (the kernel has a fixed three-section signature).  Zero
+    rows are inert: Ruiz gives them unit scaling (``_limit_scaling(0) = 1``)
+    and their iterates stay exactly zero.  Returns (qp, y0, had_r, had_r2).
+    """
+    B = qp.Hb.shape[0]
+    nd = N - 1
+    n = N * w
+    r = qp.J0.shape[2]
+    r2 = qp.Jc.shape[2]
+    had_r, had_r2 = r > 0, r2 > 0
+    dtype = qp.Hb.dtype
+    l, u, q = qp.l, qp.u, qp.q
+    J0, J1, Jc = qp.J0, qp.J1, qp.Jc
+    inf = jnp.inf
+    if not had_r:
+        J0 = jnp.zeros((B, nd, 1, w), dtype)
+        J1 = jnp.zeros((B, nd, 1, w), dtype)
+        pad = jnp.full((B, nd), -inf, dtype)
+        l = jnp.concatenate([l[:, :n], pad, l[:, n:]], axis=1)
+        u = jnp.concatenate([u[:, :n], -pad, u[:, n:]], axis=1)
+        y0 = jnp.concatenate(
+            [y0[:, :n], jnp.zeros((B, nd), dtype), y0[:, n:]], axis=1
+        )
+    if not had_r2:
+        Jc = jnp.zeros((B, N, 1, w), dtype)
+        pad = jnp.full((B, N), -inf, dtype)
+        l = jnp.concatenate([l, pad], axis=1)
+        u = jnp.concatenate([u, -pad], axis=1)
+        y0 = jnp.concatenate([y0, jnp.zeros((B, N), dtype)], axis=1)
+    return BandedQP(qp.Hb, J0, J1, Jc, q, l, u), y0, had_r, had_r2
+
+
+def _strip_sections(v, N, w, r, r2, had_r, had_r2):
+    """Drop the rows added by :func:`_pad_sections` from a flat (B, m)."""
+    if had_r and had_r2:
+        return v
+    vx, vd, vc = _split_rows(v, N, w, r, r2)
+    parts = [vx.reshape(v.shape[0], -1)]
+    if had_r:
+        parts.append(vd.reshape(v.shape[0], -1))
+    if had_r2:
+        parts.append(vc.reshape(v.shape[0], -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "batch_tile", "interpret"),
+)
+@f32_matmuls
+def admm_solve_banded_batch(
+    qp: BandedQP,
+    settings: ADMMSettings = ADMMSettings(),
+    x0: Optional[jnp.ndarray] = None,  # (B, n) warm start
+    y0: Optional[jnp.ndarray] = None,  # (B, m)
+    batch_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Solve a BATCH of stage-structured QPs (leading dim B on every field).
+
+    Returns a :class:`QPSolution` with leading batch dims.  Numerically
+    equivalent to ``jax.vmap(admm_solve_banded)`` (thomas solver), but the
+    iteration loop runs as the fused batch-last Pallas kernel.
+    """
+    st = settings
+    dtype = qp.Hb.dtype
+    B, N, w = qp.Hb.shape[0], qp.Hb.shape[1], qp.Hb.shape[2]
+    if N < 2:
+        raise ValueError("batch-native banded path requires horizon >= 2")
+    n = N * w
+    m_in = qp.l.shape[1]
+    sigma = float(st.sigma)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if batch_tile is None:
+        batch_tile = pick_batch_tile(
+            B, N, w, max(qp.J0.shape[2], 1), max(qp.Jc.shape[2], 1)
+        )
+    if batch_tile is None:
+        # Working set does not fit in VMEM at any lane-aligned tile:
+        # fall back to the vmapped XLA loop (same semantics).
+        from .admm_banded import admm_solve_banded
+
+        return jax.vmap(
+            lambda q_, x_, y_: admm_solve_banded(
+                q_, st.replace(banded_solver="thomas"), x0=x_, y0=y_
+            )
+        )(
+            qp,
+            jnp.zeros((B, n), dtype) if x0 is None else x0,
+            jnp.zeros((B, m_in), dtype) if y0 is None else y0,
+        )
+
+    qp = qp._replace(
+        l=jnp.minimum(qp.l.astype(dtype), qp.u.astype(dtype)),
+        u=qp.u.astype(dtype),
+        q=qp.q.astype(dtype),
+    )
+    x0 = jnp.zeros((B, n), dtype) if x0 is None else x0.astype(dtype)
+    y0 = jnp.zeros((B, m_in), dtype) if y0 is None else y0.astype(dtype)
+    qp, y0, had_r, had_r2 = _pad_sections(qp, y0, N, w)
+    r = qp.J0.shape[2]
+    r2 = qp.Jc.shape[2]
+    m = qp.l.shape[1]
+
+    pad_b = (-B) % batch_tile
+    if pad_b:
+        # Pad the batch by replicating scenario 0; padded rows enter frozen.
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad_b,) + a.shape[1:])], axis=0
+        )
+        qp = jax.tree_util.tree_map(rep, qp)
+        x0, y0 = rep(x0), rep(y0)
+    Bp = B + pad_b
+
+    # -- prepare (XLA, batch-leading) -----------------------------------
+    scaled, D, E, c = jax.vmap(
+        lambda q_: ruiz_equilibrate_banded(q_, st.scaling_iters)
+    )(qp)
+    cinv = 1.0 / c  # (Bp,)
+    Dinv, Einv = 1.0 / D, 1.0 / E
+    rho0 = _rho_vec(scaled.l, scaled.u, jnp.asarray(st.rho, dtype), dtype)
+
+    def factors_T(rho_flat):
+        diag, lower = jax.vmap(_build_M_blocks, in_axes=(0, 0, None))(
+            scaled, rho_flat, jnp.asarray(sigma, dtype)
+        )
+        fac = jax.vmap(btd_factor)(diag, lower)
+        return _t(fac.dinv), _t(fac.g)
+
+    dinvT, gT = factors_T(rho0)
+
+    # Batch-last constants for the kernel.
+    HbT = _t(scaled.Hb)
+    J0T, J1T, JcT = _t(scaled.J0), _t(scaled.J1), _t(scaled.Jc)
+    qT = _t(scaled.q.reshape(Bp, N, w))
+
+    def sectionsT(v):
+        vx, vd, vc = _split_rows(v, N, w, r, r2)
+        return _t(vx), _t(vd), _t(vc)
+
+    lxT, ldT, lcT = sectionsT(scaled.l)
+    uxT, udT, ucT = sectionsT(scaled.u)
+    exT, edT, ecT = sectionsT(Einv)
+    dsT = _t(Dinv.reshape(Bp, N, w))
+    scaleT = {"ds": dsT, "ex": exT, "ed": edT, "ec": ecT, "ci": cinv}
+
+    if st.adaptive_rho:
+        interval = max(st.adaptive_rho_interval, st.check_every)
+        interval = (
+            (interval + st.check_every - 1) // st.check_every
+        ) * st.check_every
+    else:
+        interval = st.max_iter
+
+    x_s = x0 * Dinv  # scaled warm starts, batch-leading flat
+    y_s = c[:, None] * y0 * Einv
+
+    cert_b = jax.vmap(
+        lambda qp_, dx, dy, D_, E_, ci_: banded_certificates(
+            qp_, dx, dy, D_, E_, ci_, st
+        )
+    )
+
+    false_b = jnp.zeros((Bp,), bool)
+    inf_b = jnp.full((Bp,), jnp.inf, dtype)
+    state = (
+        jnp.zeros((Bp,), jnp.int32),  # it per scenario
+        x_s,
+        y_s,
+        jnp.zeros((Bp, m), dtype),  # z (scaled)
+        rho0,
+        dinvT,
+        gT,
+        false_b,  # done (converged)
+        false_b,  # prim_inf
+        false_b,  # dual_inf
+        inf_b,  # r_prim
+        inf_b,  # r_dual
+    )
+
+    def cond_fn(s):
+        it_b, _, _, _, _, _, _, done, pinf, dinf, _, _ = s
+        active = jnp.logical_and(
+            ~(done | pinf | dinf), it_b < st.max_iter
+        )
+        return jnp.any(active)
+
+    def body_fn(s):
+        (it_b, x, y, z, rho, dT, gT_, done, pinf, dinf, rp, rd) = s
+        stop = done | pinf | dinf
+        yx, yd, yc = sectionsT(y)
+        rxT, rdT_, rcT = sectionsT(rho)
+        bounds = {
+            "lx": lxT, "ux": uxT, "rx": rxT,
+            "ld": ldT, "ud": udT, "rd": rdT_,
+            "lc": lcT, "uc": ucT, "rc": rcT,
+        }
+        (xT2, yx2, yd2, yc2, zx2, zd2, zc2, kdone, it_inc,
+         rp_k, rd_k, mp_k, md_k) = banded_admm_chunk(
+            it_b, stop.astype(jnp.int32),
+            dT, gT_, HbT, J0T, J1T, JcT, qT, bounds, scaleT,
+            _t(x.reshape(Bp, N, w)), yx, yd, yc,
+            interval=interval,
+            check_every=st.check_every,
+            max_iter=st.max_iter,
+            sigma=sigma,
+            alpha=float(st.alpha),
+            eps_abs=float(st.eps_abs),
+            eps_rel=float(st.eps_rel),
+            batch_tile=batch_tile,
+            interpret=interpret,
+        )
+        x_new = _ut(xT2).reshape(Bp, n)
+        y_new = _join_rows(_ut(yx2), _ut(yd2), _ut(yc2))
+        z_new = _join_rows(_ut(zx2), _ut(zd2), _ut(zc2))
+        ran = jnp.isfinite(rp_k)  # scenarios that advanced this chunk
+        it_b = it_b + it_inc
+        done = done | ((kdone == 1) & ~stop)
+        rp = jnp.where(ran, rp_k, rp)
+        rd = jnp.where(ran, rd_k, rd)
+        if st.check_infeasibility:
+            pinf_k, dinf_k = cert_b(
+                scaled, x_new - x, y_new - y, D, E, cinv
+            )
+            pinf = pinf | (pinf_k & ran & ~done)
+            dinf = dinf | (dinf_k & ran & ~done)
+        if st.adaptive_rho:
+            rp_rel = rp_k / jnp.maximum(mp_k, 1e-12)
+            rd_rel = rd_k / jnp.maximum(md_k, 1e-12)
+            scale = jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-12))
+            scale = jnp.clip(scale, 1e-3, 1e3)
+            trigger = (
+                jnp.logical_or(
+                    scale > st.adaptive_rho_tolerance,
+                    scale < 1.0 / st.adaptive_rho_tolerance,
+                )
+                & ran & ~done & ~pinf & ~dinf
+            )
+            rho_new = jnp.where(
+                trigger[:, None],
+                jnp.clip(rho * scale[:, None], _RHO_MIN, _RHO_MAX),
+                rho,
+            )
+
+            def adapt(_):
+                dT2, gT2 = factors_T(rho_new)
+                return rho_new, dT2, gT2
+
+            rho, dT, gT_ = jax.lax.cond(
+                jnp.any(trigger), adapt, lambda _: (rho, dT, gT_), None
+            )
+        return (it_b, x_new, y_new, z_new, rho, dT, gT_,
+                done, pinf, dinf, rp, rd)
+
+    (it_b, x, y, z, rho, dinvT, gT, done, pinf, dinf, rp, rd) = (
+        jax.lax.while_loop(cond_fn, body_fn, state)
+    )
+
+    if st.polish:
+        pol = jax.vmap(
+            lambda qp_, x_, y_, z_, rp_, rd_, Ei_, Di_, ci_: banded_polish(
+                qp_, st, btd_factor, btd_solve,
+                x_, y_, z_, rp_, rd_, Ei_, Di_, ci_,
+            )
+        )
+        x, y, z, rp, rd = pol(scaled, x, y, z, rp, rd, Einv, Dinv, cinv)
+
+    sol = QPSolution(
+        x=(D * x)[:B],
+        y=_strip_sections(E * y * cinv[:, None], N, w, r, r2, had_r, had_r2)[:B],
+        z=_strip_sections(z * Einv, N, w, r, r2, had_r, had_r2)[:B],
+        iters=it_b[:B],
+        converged=done[:B],
+        r_prim=rp[:B],
+        r_dual=rd[:B],
+        prim_inf=pinf[:B],
+        dual_inf=dinf[:B],
+    )
+    return sol
