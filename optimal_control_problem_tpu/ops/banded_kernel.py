@@ -76,6 +76,9 @@ def _kernel(
     yx0_ref,  # (N, w, Bt) scaled dual warm start, x rows
     yd0_ref,  # (Nd, r, Bt)
     yc0_ref,  # (N, r2, Bt)
+    zx0_ref,  # (N, w, Bt) carried z (driver inits clip(Ax0) on first chunk)
+    zd0_ref,  # (Nd, r, Bt)
+    zc0_ref,  # (N, r2, Bt)
     # outputs
     xo_ref,  # (N, w, Bt)
     yxo_ref,  # (N, w, Bt)
@@ -209,10 +212,11 @@ def _kernel(
 
     x = x0_ref[:]
     yx, yd, yc = yx0_ref[:], yd0_ref[:], yc0_ref[:]
-    ax0, ad0, ac0 = mat_A(x)
-    zx = jnp.clip(ax0, lx, ux)
-    zd = jnp.clip(ad0, ld, ud)
-    zc = jnp.clip(ac0, lc, uc)
+    # z is CARRIED across chunks (exactly like admm_solve_banded's while
+    # state) — the driver initializes it to clip(A x0, l, u) once before
+    # the first chunk, so multi-chunk solves and rho adaptations see the
+    # same z trajectory as the per-scenario reference.
+    zx, zd, zc = zx0_ref[:], zd0_ref[:], zc0_ref[:]
     done = done0_ref[:]
     inf_row = jnp.full((1, x.shape[-1]), jnp.inf, x.dtype)
     it_inc = jnp.zeros((1, x.shape[-1]), jnp.int32)
@@ -296,6 +300,9 @@ def banded_admm_chunk(
     yxT,
     ydT,
     ycT,
+    zxT,  # carried z sections (clip(A x0) before the first chunk)
+    zdT,
+    zcT,
     *,
     interval: int,
     check_every: int,
@@ -334,7 +341,7 @@ def banded_admm_chunk(
         boundsT["lc"], boundsT["uc"], boundsT["rc"],
         scaleT["ds"], scaleT["ex"], scaleT["ed"], scaleT["ec"],
         scaleT["ci"][None, :],
-        xT, yxT, ydT, ycT,
+        xT, yxT, ydT, ycT, zxT, zdT, zcT,
     ]
     out_shapes = (
         jax.ShapeDtypeStruct(xT.shape, dtype),  # x

@@ -73,13 +73,20 @@ def btd_factor(diag: jnp.ndarray, lower: jnp.ndarray) -> BTDFactor:
 
 @f32_matmuls
 def btd_solve(fac: BTDFactor, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve M x = b given the factorization.  ``b``: (N, w) -> (N, w)."""
+    """Solve M x = b given the factorization.  ``b``: (N, w) -> (N, w).
+
+    Block "matvecs" are broadcast-multiply-reduce, NOT dots: at w <= 16
+    the MXU is useless, and this is the exact op sequence of the fused
+    Pallas chunk's in-kernel sweep (ops/banded_kernel.py ``btd_solve``) so
+    the two paths' iterates bit-match (dots accumulate with FMAs and
+    drift in the last ulp).
+    """
     dinv, g, _ = fac
 
     # Forward: y_k = b_k - G_k y_{k-1}
     def fwd(y_prev, inputs):
         b_k, g_k = inputs
-        y_k = b_k - g_k @ y_prev
+        y_k = b_k - jnp.sum(g_k * y_prev[None, :], axis=1)
         return y_k, y_k
 
     y0 = b[0]
@@ -89,10 +96,12 @@ def btd_solve(fac: BTDFactor, b: jnp.ndarray) -> jnp.ndarray:
     # Backward: x_N = Dinv_N y_N; x_k = Dinv_k y_k - G_{k+1}^T x_{k+1}
     def bwd(x_next, inputs):
         y_k, dinv_k, g_k1 = inputs
-        x_k = dinv_k @ y_k - g_k1.T @ x_next
+        x_k = jnp.sum(dinv_k * y_k[None, :], axis=1) - jnp.sum(
+            g_k1 * x_next[:, None], axis=0
+        )
         return x_k, x_k
 
-    x_last = dinv[-1] @ y[-1]
+    x_last = jnp.sum(dinv[-1] * y[-1][None, :], axis=1)
     _, x_rest = jax.lax.scan(
         bwd, x_last, (y[:-1], dinv[:-1], g), reverse=True
     )

@@ -66,9 +66,15 @@ class BatchedSolver:
         lbx_t, ubx_t = self._lbx_tail, self._ubx_tail
         lbg, ubg = self._lbg, self._ubg
 
-        if self.solver.solve_batch_fn is not None:
-            # Shared-system fast path: whole batch in one GEMM-ADMM program.
-            solve_batch = self.solver.solve_batch_fn
+        solve_batch = self.solver.solve_batch_fn
+        if solve_batch is None:
+            # Batch-native banded path: the whole scenario batch iterates in
+            # the fused batch-last Pallas chunk (nonlinear models rebuild
+            # per-scenario operators each SQP step).  Measured well above the
+            # vmapped per-scenario XLA loop (docs/PERFORMANCE.md).
+            solve_batch = getattr(self.solver, "solve_batch_banded_fn", None)
+        if solve_batch is not None:
+            # Whole-batch program: shared-system GEMM-ADMM or banded Pallas.
 
             def batched(frames, references, x, qp_x, qp_y):
                 B = frames.shape[0]
@@ -79,12 +85,11 @@ class BatchedSolver:
                 ubx = ubx.at[:, :fs].set(frames)
                 lbg_b = jnp.broadcast_to(lbg, (B, lbg.shape[0]))
                 ubg_b = jnp.broadcast_to(ubg, (B, ubg.shape[0]))
-                res = solve_batch(
+                return solve_batch(
                     x, references, lbx, ubx, lbg_b, ubg_b, qp_x, qp_y
                 )
-                return res.x, res.f, res.qp_x, res.qp_y
 
-            self._batched = jax.jit(batched)
+            self._batched_res = jax.jit(batched)
         else:
             solve_fn = self.solver.solve_fn
 
@@ -92,12 +97,21 @@ class BatchedSolver:
                 # First-frame pinning per scenario (cpp:93-96).
                 lbx_i = lbx_t.at[:fs].set(frame)
                 ubx_i = ubx_t.at[:fs].set(frame)
-                res = solve_fn(
+                return solve_fn(
                     x, reference, lbx_i, ubx_i, lbg, ubg, qp_x, qp_y
                 )
-                return res.x, res.f, res.qp_x, res.qp_y
 
-            self._batched = jax.jit(jax.vmap(one))
+            self._batched_res = jax.jit(jax.vmap(one))
+
+        def slim(frames, references, x, qp_x, qp_y):
+            res = self._batched_res(frames, references, x, qp_x, qp_y)
+            return res.x, res.f, res.qp_x, res.qp_y
+
+        self._batched = jax.jit(slim)
+        # Full SQPResult of the last .solve() call (per-scenario f_history,
+        # qp_iters, step_norms, and — on the banded/per-scenario paths —
+        # per-step QP convergence/infeasibility flags).
+        self.last_result = None
 
     # ------------------------------------------------------------------
     def init_state(self, batch: int, x0: Optional[np.ndarray] = None) -> BatchState:
@@ -123,10 +137,11 @@ class BatchedSolver:
         """
         frames = jnp.asarray(frames, self.dtype)
         references = jnp.asarray(references, self.dtype)
-        x, f, qp_x, qp_y = self._batched(
+        res = self._batched_res(
             frames, references, state.x, state.qp_x, state.qp_y
         )
-        return x, f, BatchState(x=x, qp_x=qp_x, qp_y=qp_y)
+        self.last_result = res
+        return res.x, res.f, BatchState(x=res.x, qp_x=res.qp_x, qp_y=res.qp_y)
 
     @property
     def solve_jit(self):

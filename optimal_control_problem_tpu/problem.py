@@ -99,6 +99,29 @@ class SolverSettings:
         self.ls_num = int(sqp_node.get("ls_num", 8))
         self.ls_alpha_max = float(sqp_node.get("ls_alpha_max", 1.0))
         self.ls_merit_mu = float(sqp_node.get("ls_merit_mu", 10.0))
+        # Reference-parity preset (SQPOptions.parity): augmented z, raw
+        # objective Hessian (reg 0.0), fixed damped step, no shared-system
+        # shortcut — the exact SQPOptimizationSolver.cpp semantics.
+        self.parity = bool(sqp_node.get("parity", False))
+        # Hessian convexification ("auto" | "eigh" | float; 0.0 = reference).
+        hr = sqp_node.get("hessian_reg", 0.0 if self.parity else "auto")
+        self.hessian_reg = hr if isinstance(hr, str) else float(hr)
+        # ||alpha*dx|| early exit: None ties it to `verbose` like the
+        # reference (SQPOptimizationSolver.cpp:189-196).
+        ee = sqp_node.get("early_exit", None)
+        self.early_exit = None if ee is None else bool(ee)
+        self.early_exit_tol = float(sqp_node.get("early_exit_tol", 1e-6))
+        # MIXED tick-2+ dispatch: "reference" = always SQP after the first
+        # tick (what OptimalControlProblem.cpp:92,153-161 actually does —
+        # `res` is freshly default-constructed each call, so the f-based
+        # IPOPT branch never fires); "intent" = the comment's intent (IPOPT
+        # whenever the previous objective stayed above 1e-6) as an opt-in.
+        self.mixed_dispatch = str(node.get("mixed_dispatch", "reference"))
+        if self.mixed_dispatch not in ("reference", "intent"):
+            raise ValueError(
+                f"mixed_dispatch must be 'reference' or 'intent', "
+                f"got {self.mixed_dispatch!r}"
+            )
 
         method = str(node["solve_method"])
         if method == "CUDA_SQP":  # accepted alias (readme.md:58)
@@ -403,19 +426,25 @@ class OptimalControlProblem:
             self._structure_lbg = lbg
             self._structure_ubg = ubg
             st = self.solver_settings
-            if st.formulation != "reduced":
-                st.formulation = "reduced"
-            parts = build_stagewise_parts(ss, st.dtype, "auto")
-            # The block-tridiagonal QP path is O(N w^3) against the dense
-            # operator's O(N^3 w^3) and measured faster at EVERY horizon
-            # (cart-pole h8: 1.7x, h20: 1.5x, quadrotor h100: >12x — see
-            # docs/PERFORMANCE.md); make it the default whenever a stage
-            # structure is registered and the user did not pin a method.
-            if (
-                not getattr(st, "admm_method_explicit", True)
-                and st.admm.method == "kkt"
-            ):
-                st.admm = st.admm.replace(method="banded")
+            if getattr(st, "parity", False):
+                # Parity preset = the reference's exact dense augmented-z
+                # flow; the stage structure still defines the NLP functions
+                # but the structured QP fast paths stay out of the solve.
+                pass
+            else:
+                if st.formulation != "reduced":
+                    st.formulation = "reduced"
+                parts = build_stagewise_parts(ss, st.dtype, "auto")
+                # The block-tridiagonal QP path is O(N w^3) against the dense
+                # operator's O(N^3 w^3) and measured faster at EVERY horizon
+                # (cart-pole h8: 1.7x, h20: 1.5x, quadrotor h100: >12x — see
+                # docs/PERFORMANCE.md); make it the default whenever a stage
+                # structure is registered and the user did not pin a method.
+                if (
+                    not getattr(st, "admm_method_explicit", True)
+                    and st.admm.method == "kkt"
+                ):
+                    st.admm = st.admm.replace(method="banded")
         else:
             if not self._constraints:
                 raise RuntimeError("Constraints are empty")  # cpp:230-233
@@ -430,20 +459,31 @@ class OptimalControlProblem:
                 "g": g_fn,
                 "p": self.reference_size,
             }
-            options = SQPOptions(
+            kw = dict(
                 max_iter=st.step_num,
                 alpha=st.alpha,
                 verbose=st.verbose,
-                formulation=st.formulation,
                 qp_warm_start=st.qp_warm_start,
                 dtype=st.dtype,
                 admm=st.admm,
-                shared_system=st.shared_system,
-                line_search=getattr(st, "line_search", "none"),
-                ls_num=getattr(st, "ls_num", 8),
-                ls_alpha_max=getattr(st, "ls_alpha_max", 1.0),
-                ls_merit_mu=getattr(st, "ls_merit_mu", 10.0),
+                early_exit=getattr(st, "early_exit", None),
+                early_exit_tol=getattr(st, "early_exit_tol", 1e-6),
             )
+            if getattr(st, "parity", False):
+                # Reference-parity preset: pins formulation/hessian_reg/
+                # line_search/shared_system to the exact cpp semantics.
+                options = SQPOptions.parity(**kw)
+            else:
+                options = SQPOptions(
+                    formulation=st.formulation,
+                    shared_system=st.shared_system,
+                    hessian_reg=getattr(st, "hessian_reg", "auto"),
+                    line_search=getattr(st, "line_search", "none"),
+                    ls_num=getattr(st, "ls_num", 8),
+                    ls_alpha_max=getattr(st, "ls_alpha_max", 1.0),
+                    ls_merit_mu=getattr(st, "ls_merit_mu", 10.0),
+                    **kw,
+                )
             self._solver = SQPOptimizationSolver(
                 nlp,
                 options,
@@ -533,19 +573,31 @@ class OptimalControlProblem:
         st = self.solver_settings
         stype = st.solver_type
         if stype == SolverType.MIXED:
-            # First tick uses the interior-point reference; later ticks pick
-            # SQP unless there is no trajectory yet or the previous objective
-            # stayed above 1e-6 (cpp:153-161 intent; note the reference's own
-            # branch effectively always picks SQP after tick 1 because `res`
-            # is freshly default-constructed each call, cpp:92).
-            if (
-                self._first_time
-                or self._optimal_trajectory is None
-                or (self._last_f is not None and self._last_f > 1e-6)
-            ):
-                stype = SolverType.IPOPT
+            if getattr(st, "mixed_dispatch", "reference") == "reference":
+                # The reference's ACTUAL behavior: `res` is freshly
+                # default-constructed each call (cpp:92), so the
+                # `res.count("f") > 0 && f > 1e-6` branch (cpp:153-161,
+                # 192-200) never fires — IPOPT on the first tick, SQP on
+                # every later tick.  Here "SQP" is the TPU SQP engine (the
+                # hot path); the host SLSQP stand-in for CasADi sqpmethod
+                # remains reachable as SolverType.SQP (see PARITY.md).
+                if self._first_time or self._optimal_trajectory is None:
+                    stype = SolverType.IPOPT
+                else:
+                    stype = SolverType.TPU_SQP
             else:
-                stype = SolverType.TPU_SQP
+                # "intent" (opt-in): what the reference's comment MEANT —
+                # fall back to IPOPT whenever the previous objective stayed
+                # above 1e-6.  Host scipy per tick for any nonzero-cost
+                # problem; a debugging aid, not a hot path.
+                if (
+                    self._first_time
+                    or self._optimal_trajectory is None
+                    or (self._last_f is not None and self._last_f > 1e-6)
+                ):
+                    stype = SolverType.IPOPT
+                else:
+                    stype = SolverType.TPU_SQP
 
         if stype == SolverType.TPU_SQP:
             res = self._solver.get_optimal_solution(arg)

@@ -172,20 +172,31 @@ def ruiz_equilibrate_banded(qp: BandedQP, iters: int):
 
 
 def _apply_A(qp: BandedQP, x):
-    """A @ x from stage blocks.  x: (N, w) -> rows [x; dyn; sc] flattened."""
+    """A @ x from stage blocks.  x: (N, w) -> rows [x; dyn; sc] flattened.
+
+    Broadcast-multiply-reduce rather than einsum/dot: at block widths
+    w <= 16 there is nothing for the MXU here, and — crucially — this is
+    the EXACT op sequence the fused Pallas chunk uses (ops/banded_kernel.py
+    ``mat_A``), so the batch-native driver's convergence decisions bit-match
+    this reference path (a dot would accumulate with FMAs and drift in the
+    last ulp over hundreds of ADMM iterations).
+    """
     parts = [x.reshape(-1)]
     if qp.J0.shape[1]:
-        ax_d = jnp.einsum("krw,kw->kr", qp.J0, x[:-1]) + jnp.einsum(
-            "krw,kw->kr", qp.J1, x[1:]
+        ax_d = jnp.sum(qp.J0 * x[:-1][:, None, :], axis=2) + jnp.sum(
+            qp.J1 * x[1:][:, None, :], axis=2
         )
         parts.append(ax_d.reshape(-1))
     if qp.Jc.shape[1]:
-        parts.append(jnp.einsum("krw,kw->kr", qp.Jc, x).reshape(-1))
+        parts.append(jnp.sum(qp.Jc * x[:, None, :], axis=2).reshape(-1))
     return jnp.concatenate(parts)
 
 
 def _apply_AT(qp: BandedQP, t):
-    """A^T @ t from stage blocks.  t: (m,) -> (N, w)."""
+    """A^T @ t from stage blocks.  t: (m,) -> (N, w).
+
+    Multiply-reduce in the kernel's op order (see :func:`_apply_A`).
+    """
     N, w = qp.Hb.shape[0], qp.Hb.shape[1]
     r = qp.J0.shape[1]
     r2 = qp.Jc.shape[1]
@@ -193,17 +204,20 @@ def _apply_AT(qp: BandedQP, t):
     out = t[:n].reshape(N, w)
     if r:
         td = t[n : n + (N - 1) * r].reshape(N - 1, r)
-        out = out.at[:-1].add(jnp.einsum("krw,kr->kw", qp.J0, td))
-        out = out.at[1:].add(jnp.einsum("krw,kr->kw", qp.J1, td))
+        out = out.at[:-1].add(jnp.sum(qp.J0 * td[:, :, None], axis=1))
+        out = out.at[1:].add(jnp.sum(qp.J1 * td[:, :, None], axis=1))
     if r2:
         tc = t[n + (N - 1) * r :].reshape(N, r2)
-        out = out + jnp.einsum("krw,kr->kw", qp.Jc, tc)
+        out = out + jnp.sum(qp.Jc * tc[:, :, None], axis=1)
     return out
 
 
 def _apply_P(qp: BandedQP, x):
-    """P @ x (block-diagonal Hessian).  x: (N, w) -> (N, w)."""
-    return jnp.einsum("kij,kj->ki", qp.Hb, x)
+    """P @ x (block-diagonal Hessian).  x: (N, w) -> (N, w).
+
+    Multiply-reduce in the kernel's op order (see :func:`_apply_A`).
+    """
+    return jnp.sum(qp.Hb * x[:, None, :], axis=2)
 
 
 def _build_M_blocks(qp: BandedQP, rho_v, sigma):

@@ -42,6 +42,7 @@ from ..ops.block_tridiag import btd_factor, btd_solve
 from .admm import ADMMSettings, QPSolution, _RHO_MAX, _RHO_MIN, f32_matmuls
 from .admm_banded import (
     BandedQP,
+    _apply_A,
     _build_M_blocks,
     _rho_vec,
     banded_certificates,
@@ -189,6 +190,17 @@ def admm_solve_banded_batch(
         batch_tile = pick_batch_tile(
             B, N, w, max(qp.J0.shape[2], 1), max(qp.Jc.shape[2], 1)
         )
+    elif batch_tile < 0:
+        # Explicit fallback request (tests / VMEM-pressure escape hatch).
+        batch_tile = None
+    elif not interpret and batch_tile % 128 and batch_tile < B:
+        # Mosaic lane constraint (see pick_batch_tile): the batch block dim
+        # must be a multiple of 128 or cover the whole (padded) batch.
+        # Sub-batch non-multiples only work in interpret mode.
+        raise ValueError(
+            f"batch_tile={batch_tile} must be a multiple of 128 or >= the "
+            f"batch ({B}) on real TPU"
+        )
     if batch_tile is None:
         # Working set does not fit in VMEM at any lane-aligned tile:
         # fall back to the vmapped XLA loop (same semantics).
@@ -268,6 +280,13 @@ def admm_solve_banded_batch(
 
     x_s = x0 * Dinv  # scaled warm starts, batch-leading flat
     y_s = c[:, None] * y0 * Einv
+    # z initialized ONCE (clip(A x0, l, u) in scaled space) and carried
+    # through every chunk — identical to admm_solve_banded's while state.
+    z_s = jnp.clip(
+        jax.vmap(lambda q_, x_: _apply_A(q_, x_.reshape(N, w)))(scaled, x_s),
+        scaled.l,
+        scaled.u,
+    )
 
     cert_b = jax.vmap(
         lambda qp_, dx, dy, D_, E_, ci_: banded_certificates(
@@ -276,16 +295,21 @@ def admm_solve_banded_batch(
     )
 
     false_b = jnp.zeros((Bp,), bool)
+    # Padded replicas enter frozen: they never advance, never trip
+    # certificates, and never hold the while loop open.
+    done0 = false_b if pad_b == 0 else jnp.concatenate(
+        [jnp.zeros((B,), bool), jnp.ones((pad_b,), bool)]
+    )
     inf_b = jnp.full((Bp,), jnp.inf, dtype)
     state = (
         jnp.zeros((Bp,), jnp.int32),  # it per scenario
         x_s,
         y_s,
-        jnp.zeros((Bp, m), dtype),  # z (scaled)
+        z_s,  # z (scaled), carried across chunks
         rho0,
         dinvT,
         gT,
-        false_b,  # done (converged)
+        done0,  # done (converged; padded rows pre-frozen)
         false_b,  # prim_inf
         false_b,  # dual_inf
         inf_b,  # r_prim
@@ -303,6 +327,7 @@ def admm_solve_banded_batch(
         (it_b, x, y, z, rho, dT, gT_, done, pinf, dinf, rp, rd) = s
         stop = done | pinf | dinf
         yx, yd, yc = sectionsT(y)
+        zx, zd, zc = sectionsT(z)
         rxT, rdT_, rcT = sectionsT(rho)
         bounds = {
             "lx": lxT, "ux": uxT, "rx": rxT,
@@ -313,7 +338,7 @@ def admm_solve_banded_batch(
          rp_k, rd_k, mp_k, md_k) = banded_admm_chunk(
             it_b, stop.astype(jnp.int32),
             dT, gT_, HbT, J0T, J1T, JcT, qT, bounds, scaleT,
-            _t(x.reshape(Bp, N, w)), yx, yd, yc,
+            _t(x.reshape(Bp, N, w)), yx, yd, yc, zx, zd, zc,
             interval=interval,
             check_every=st.check_every,
             max_iter=st.max_iter,

@@ -67,6 +67,9 @@ class SQPResult(NamedTuple):
     qp_converged: jnp.ndarray = np.zeros((0,), bool)  # noqa: RUF009
     qp_prim_inf: jnp.ndarray = np.zeros((0,), bool)  # noqa: RUF009
     qp_dual_inf: jnp.ndarray = np.zeros((0,), bool)  # noqa: RUF009
+    # SQP iterations actually applied (< max_iter when the ||alpha*dx|| <
+    # early_exit_tol break fired, SQPOptimizationSolver.cpp:189-196).
+    steps_taken: jnp.ndarray = np.zeros((), np.int32)  # noqa: RUF009
 
 
 try:  # allow jax.export artifacts containing SQPResult (serialization.py)
@@ -119,6 +122,37 @@ class SQPOptions:
     ls_num: int = 8
     ls_alpha_max: float = 1.0
     ls_merit_mu: float = 10.0
+    # Convergence early-exit on ||alpha*dx|| < early_exit_tol
+    # (SQPOptimizationSolver.cpp:189-196).  The reference checks this ONLY
+    # when verbose; ``None`` reproduces that quirk (exit iff verbose), while
+    # True/False force it on/off regardless of verbosity.  Inside the fixed-
+    # length scan, "exit" means the iterate freezes: later iterations leave
+    # x/qp state untouched and report qp_iters=0 — bit-identical results to
+    # the reference's ``break``.
+    early_exit: Optional[bool] = None
+    early_exit_tol: float = 1e-6
+
+    @classmethod
+    def parity(cls, **overrides) -> "SQPOptions":
+        """Reference-parity preset: the exact semantics of
+        ``SQPOptimizationSolver::getOptimalSolution`` (cpp:127-216).
+
+        Augmented z=[p;x] formulation, raw objective Hessian (reg 0.0,
+        cpp:58), fixed damped step alpha=0.1 x step_num=10 with no line
+        search, early exit off (non-verbose reference behavior), and the
+        per-scenario QP path (no shared-factorization shortcut).  Override
+        any field by keyword, e.g. ``SQPOptions.parity(verbose=True)``.
+        """
+        base = dict(
+            formulation="augmented",
+            hessian_reg=0.0,
+            line_search="none",
+            alpha=0.1,
+            max_iter=10,
+            shared_system=False,
+        )
+        base.update(overrides)
+        return cls(**base)
 
 
 def _host_eval(fn, *args):
@@ -465,6 +499,15 @@ class SQPOptimizationSolver:
         self.solve_batch_fn = (
             self._build_solve_batch_fn() if self.shared_system else None
         )
+        # Batch-native banded path: the whole scenario batch iterates inside
+        # the fused batch-last Pallas chunk (admm_banded_batch.py) instead of
+        # a vmapped per-scenario XLA loop.  BatchedSolver prefers this for
+        # stage-structured problems.
+        self.solve_batch_banded_fn = (
+            self._build_solve_banded_batch_fn()
+            if options.admm.method == "banded"
+            else None
+        )
 
         # Persistent warm-start state, analog of ``result_``
         # (SQPOptimizationSolver.cpp:88-91): starts at zeros.
@@ -501,6 +544,17 @@ class SQPOptimizationSolver:
             )
         except Exception:  # pragma: no cover - conservative fallback
             return False
+
+    def _early_exit(self):
+        """Resolve the early-exit policy to a static (enabled, tol) pair.
+
+        The reference checks ||alpha*dx|| < 1e-6 only when verbose
+        (SQPOptimizationSolver.cpp:189-196); ``early_exit=None`` reproduces
+        that tie, True/False override it.
+        """
+        opt = self.options
+        enabled = opt.verbose if opt.early_exit is None else bool(opt.early_exit)
+        return enabled, float(opt.early_exit_tol)
 
     # -- step-size rule ----------------------------------------------------
     def _make_step_rule(self):
@@ -559,6 +613,7 @@ class SQPOptimizationSolver:
         local_system = self.local_system
         f_fn = self.f_fn
         admm_settings = opt.admm
+        early, tol = self._early_exit()
 
         step_rule = self._make_step_rule()
 
@@ -568,7 +623,7 @@ class SQPOptimizationSolver:
             p = p.astype(opt.dtype)
 
             def sqp_iter(carry, _):
-                x, qpx, qpy = carry
+                x, qpx, qpy, stop = carry
                 H, grad, A, low, up = local_system(x, p, lbx, ubx, lbg, ubg)
                 sol = admm_solve(
                     H,
@@ -582,16 +637,37 @@ class SQPOptimizationSolver:
                 )
                 dx = sol.x[n_p:] if aug else sol.x
                 x_new, step_norm = step_rule(x, dx, p, lbx, ubx, lbg, ubg)
+                if early:
+                    # Frozen after the ||alpha*dx|| < tol break: identical
+                    # results to the reference's loop `break` (cpp:189-196)
+                    # inside a fixed-length scan.
+                    x_new = jnp.where(stop, x, x_new)
+                    qpx_n = jnp.where(stop, qpx, sol.x)
+                    qpy_n = jnp.where(stop, qpy, sol.y)
+                    qp_it = jnp.where(stop, 0, sol.iters)
+                    step_norm = jnp.where(stop, 0.0, step_norm)
+                    took = jnp.logical_not(stop)
+                    stop = jnp.logical_or(stop, step_norm < tol)
+                else:
+                    qpx_n, qpy_n, qp_it = sol.x, sol.y, sol.iters
+                    took = jnp.asarray(True)
                 fval = f_fn(x_new, p)
                 status = (
                     jnp.asarray(sol.converged),
                     jnp.asarray(sol.prim_inf),
                     jnp.asarray(sol.dual_inf),
                 )
-                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm, status)
+                return (x_new, qpx_n, qpy_n, stop), (
+                    fval, qp_it, step_norm, status, took
+                )
 
-            (x, qpx, qpy), (f_hist, qp_iters, step_norms, status) = jax.lax.scan(
-                sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
+            (x, qpx, qpy, _), (f_hist, qp_iters, step_norms, status, took) = (
+                jax.lax.scan(
+                    sqp_iter,
+                    (x_init, qp_x0, qp_y0, jnp.asarray(False)),
+                    None,
+                    length=opt.max_iter,
+                )
             )
             return SQPResult(
                 x=x,
@@ -604,6 +680,7 @@ class SQPOptimizationSolver:
                 qp_converged=status[0],
                 qp_prim_inf=status[1],
                 qp_dual_inf=status[2],
+                steps_taken=jnp.sum(took.astype(jnp.int32)),
             )
 
         return jax.jit(solve)
@@ -623,13 +700,14 @@ class SQPOptimizationSolver:
         _, _, vectors, stack_bounds = self._parts
         blocks = build_stage_blocks(ss, dtype, opt.hessian_reg)
         step_rule = self._make_step_rule()
+        early, tol = self._early_exit()
 
         def solve(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
             x_init = x_init.astype(dtype)
             p = p.astype(dtype)
 
             def sqp_iter(carry, _):
-                x, qpx, qpy = carry
+                x, qpx, qpy, stop = carry
                 Hb, J0, J1, Jc = blocks(x, p)
                 grad, cval = vectors(x, p)
                 lower, upper = stack_bounds(p, lbx, ubx, lbg, ubg)
@@ -649,16 +727,34 @@ class SQPOptimizationSolver:
                     y0=qpy if opt.qp_warm_start else None,
                 )
                 x_new, step_norm = step_rule(x, sol.x, p, lbx, ubx, lbg, ubg)
+                if early:
+                    x_new = jnp.where(stop, x, x_new)
+                    qpx_n = jnp.where(stop, qpx, sol.x)
+                    qpy_n = jnp.where(stop, qpy, sol.y)
+                    qp_it = jnp.where(stop, 0, sol.iters)
+                    step_norm = jnp.where(stop, 0.0, step_norm)
+                    took = jnp.logical_not(stop)
+                    stop = jnp.logical_or(stop, step_norm < tol)
+                else:
+                    qpx_n, qpy_n, qp_it = sol.x, sol.y, sol.iters
+                    took = jnp.asarray(True)
                 fval = f_fn(x_new, p)
                 status = (
                     jnp.asarray(sol.converged),
                     jnp.asarray(sol.prim_inf),
                     jnp.asarray(sol.dual_inf),
                 )
-                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm, status)
+                return (x_new, qpx_n, qpy_n, stop), (
+                    fval, qp_it, step_norm, status, took
+                )
 
-            (x, qpx, qpy), (f_hist, qp_iters, step_norms, status) = jax.lax.scan(
-                sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
+            (x, qpx, qpy, _), (f_hist, qp_iters, step_norms, status, took) = (
+                jax.lax.scan(
+                    sqp_iter,
+                    (x_init, qp_x0, qp_y0, jnp.asarray(False)),
+                    None,
+                    length=opt.max_iter,
+                )
             )
             return SQPResult(
                 x=x,
@@ -671,9 +767,103 @@ class SQPOptimizationSolver:
                 qp_converged=status[0],
                 qp_prim_inf=status[1],
                 qp_dual_inf=status[2],
+                steps_taken=jnp.sum(took.astype(jnp.int32)),
             )
 
         return jax.jit(solve)
+
+    def _build_solve_banded_batch_fn(self):
+        """Batched banded solve: one fused Pallas chunk per rho interval
+        for the WHOLE scenario batch (solvers/admm_banded_batch.py).
+
+        Same signature as ``solve_batch_fn``: ``(x (B,nx), p (B,np),
+        lbx (B,nx), ubx, lbg (B,ng), ubg, qp_x (B,qn), qp_y (B,qm)) ->
+        SQPResult`` with leading batch dims.  Unlike the shared-system GEMM
+        path this handles NONLINEAR models (per-scenario operators rebuilt
+        each SQP step) and populates per-step QP status flags and
+        infeasibility certificates for every scenario.  Falls back to the
+        vmapped XLA loop automatically when the kernel working set exceeds
+        VMEM (pick_batch_tile -> None), with identical semantics.
+        """
+        from ..stagewise import build_stage_blocks
+        from .admm_banded import BandedQP
+        from .admm_banded_batch import admm_solve_banded_batch
+
+        opt = self.options
+        ss = self.stage_structure
+        admm_settings = opt.admm
+        dtype = opt.dtype
+        _, _, vectors, stack_bounds = self._parts
+        blocks_b = jax.vmap(build_stage_blocks(ss, dtype, opt.hessian_reg))
+        vectors_b = jax.vmap(vectors)
+        bounds_b = jax.vmap(stack_bounds)
+        f_b = jax.vmap(self.f_fn)
+        step_b = jax.vmap(self._make_step_rule())
+        early, tol = self._early_exit()
+
+        @f32_matmuls
+        def solve_batch(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
+            x_init = x_init.astype(dtype)
+            p = p.astype(dtype)
+
+            def sqp_iter(carry, _):
+                x, qpx, qpy, stop = carry
+                Hb, J0, J1, Jc = blocks_b(x, p)
+                grad, cval = vectors_b(x, p)
+                lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
+                qp = BandedQP(
+                    Hb=Hb, J0=J0, J1=J1, Jc=Jc,
+                    q=grad, l=lower - cval, u=upper - cval,
+                )
+                sol = admm_solve_banded_batch(
+                    qp,
+                    admm_settings,
+                    x0=qpx if opt.qp_warm_start else None,
+                    y0=qpy if opt.qp_warm_start else None,
+                )
+                x_new, step_norm = step_b(x, sol.x, p, lbx, ubx, lbg, ubg)
+                if early:
+                    keep = stop[:, None]
+                    x_new = jnp.where(keep, x, x_new)
+                    qpx_n = jnp.where(keep, qpx, sol.x)
+                    qpy_n = jnp.where(keep, qpy, sol.y)
+                    qp_it = jnp.where(stop, 0, sol.iters)
+                    step_norm = jnp.where(stop, 0.0, step_norm)
+                    took = jnp.logical_not(stop)
+                    stop = jnp.logical_or(stop, step_norm < tol)
+                else:
+                    qpx_n, qpy_n, qp_it = sol.x, sol.y, sol.iters
+                    took = jnp.ones(step_norm.shape, bool)
+                fval = f_b(x_new, p)
+                status = (sol.converged, sol.prim_inf, sol.dual_inf)
+                return (x_new, qpx_n, qpy_n, stop), (
+                    fval, qp_it, step_norm, status, took
+                )
+
+            stop0 = jnp.zeros((x_init.shape[0],), bool)
+            (x, qpx, qpy, _), (f_hist, qp_iters, step_norms, status, took) = (
+                jax.lax.scan(
+                    sqp_iter,
+                    (x_init, qp_x0, qp_y0, stop0),
+                    None,
+                    length=opt.max_iter,
+                )
+            )
+            return SQPResult(
+                x=x,
+                f=f_hist[-1],
+                qp_x=qpx,
+                qp_y=qpy,
+                f_history=f_hist,
+                qp_iters=qp_iters,
+                step_norms=step_norms,
+                qp_converged=status[0],
+                qp_prim_inf=status[1],
+                qp_dual_inf=status[2],
+                steps_taken=jnp.sum(took.astype(jnp.int32), axis=0),
+            )
+
+        return jax.jit(solve_batch)
 
     def _build_solve_batch_fn(self):
         """Batched solve over B scenarios sharing the QP matrices.
@@ -805,7 +995,13 @@ class SQPOptimizationSolver:
 
         if self._verbose:
             print("=== SQP done ===")
-            print(f"  iterations: {self.options.max_iter}, alpha: {self.options.alpha}")
+            taken = int(np.asarray(res.steps_taken)) or self.options.max_iter
+            print(f"  iterations: {taken}/{self.options.max_iter}, "
+                  f"alpha: {self.options.alpha}")
+            if taken < self.options.max_iter:
+                # ||alpha*dx|| < tol convergence break
+                # (SQPOptimizationSolver.cpp:189-196).
+                print(f"  early exit: ||alpha*dx|| < {self.options.early_exit_tol}")
             print(f"  qp iters per step: {np.asarray(res.qp_iters)}")
             print(f"  f history: {np.asarray(res.f_history)}")
             print(f"  x = {np.asarray(res.x)}")

@@ -144,11 +144,21 @@ def test_pick_batch_tile_policy():
 
 
 def test_fallback_path_matches():
-    # Force the VMEM-overflow fallback by requesting an impossible size via
-    # a fake large problem?  Cheaper: call with batch_tile=None on a small
-    # problem (kernel path) and compare against an explicit fallback-shaped
-    # call through the vmapped reference.
+    # Kernel path (batch_tile auto) must match the vmapped reference even on
+    # problems whose solves span multiple rho chunks (s+40 seeds adapt rho).
     qp_b = stack_qps([random_stage_qp(s + 40) for s in range(2)])
     ref = vmapped_ref(qp_b, SET)
     bat = admm_solve_banded_batch(qp_b, SET)
     np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(bat.iters))
+
+
+def test_forced_vmap_fallback_matches():
+    # batch_tile=-1 forces the VMEM-overflow fallback branch (the vmapped
+    # XLA loop); it must agree with the vmapped reference exactly.
+    qp_b = stack_qps([random_stage_qp(s + 40) for s in range(2)])
+    ref = vmapped_ref(qp_b, SET)
+    bat = admm_solve_banded_batch(qp_b, SET, batch_tile=-1)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(bat.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(bat.x), atol=5e-5, rtol=1e-4
+    )

@@ -139,3 +139,62 @@ def test_consensus_first_control(ocp):
     assert u.shape == (2,)
     manual = np.asarray(trajs)[:, 4:6].mean(axis=0)
     np.testing.assert_allclose(np.asarray(u), manual, atol=1e-5)
+
+
+def test_batched_banded_routes_and_matches_vmapped():
+    """Stage-structured (nonlinear) models route BatchedSolver through the
+    batch-native banded Pallas driver (solve_batch_banded_fn), and its
+    results bit-match the vmapped per-scenario banded solve — same QP
+    iteration counts, same trajectories, and populated per-step QP status."""
+    from optimal_control_problem_tpu.models import cartpole
+
+    cfg = cartpole.make_config(horizon=8, dt=0.04, alpha=0.3, step_num=4)
+    ocp = cartpole.build(cfg, stagewise=True)
+    solver = ocp.solver
+    assert solver.solve_batch_banded_fn is not None
+    assert solver.solve_batch_fn is None  # nonlinear: no shared-system path
+
+    B = 3
+    rng = np.random.default_rng(3)
+    frames = np.zeros((B, cartpole.FRAME))
+    frames[:, 2] = rng.uniform(-0.4, 0.4, size=B)  # theta spread
+    refs = np.full((B, 1), np.pi)
+
+    batched = BatchedSolver(ocp)
+    state = batched.init_state(B)
+    trajs, objs, state = batched.solve(frames, refs, state)
+    res_b = batched.last_result
+    assert res_b is not None
+    # Per-step QP status populated for every scenario (steps, B).
+    assert np.asarray(res_b.qp_converged).shape == (4, B)
+    assert np.all(np.asarray(res_b.qp_converged))
+    assert not np.any(np.asarray(res_b.qp_prim_inf))
+
+    # vmapped per-scenario reference over the same inputs.
+    n_x = ocp.ocp_config.num_variables
+    lbx = np.tile(ocp.ocp_config.lower_bounds_flat(), (B, 1))
+    ubx = np.tile(ocp.ocp_config.upper_bounds_flat(), (B, 1))
+    fs = cartpole.FRAME
+    lbx[:, :fs] = frames
+    ubx[:, :fs] = frames
+    lbg = np.tile(ocp.get_constraint_lower_bounds(), (B, 1))
+    ubg = np.tile(ocp.get_constraint_upper_bounds(), (B, 1))
+    x0 = np.zeros((B, n_x), np.float32)
+    qx0 = np.zeros((B, solver._qp_n), np.float32)
+    qy0 = np.zeros((B, solver._qp_m), np.float32)
+    ref = jax.vmap(
+        lambda x, p, lo, hi, lg, ug, qx, qy: solver.solve_fn(
+            x, p, lo, hi, lg, ug, qx, qy
+        )
+    )(x0, refs.astype(np.float32), lbx.astype(np.float32),
+      ubx.astype(np.float32), lbg.astype(np.float32),
+      ubg.astype(np.float32), qx0, qy0)
+
+    # vmap stacks per-scenario (steps,) as (B, steps); the batch driver
+    # scans over steps giving (steps, B).
+    np.testing.assert_array_equal(
+        np.asarray(ref.qp_iters).T, np.asarray(res_b.qp_iters)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(trajs), atol=1e-5, rtol=1e-5
+    )

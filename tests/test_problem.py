@@ -122,6 +122,39 @@ def test_mixed_backend_switches():
     np.testing.assert_allclose(first, second, atol=1e-2)
 
 
+def test_mixed_reference_dispatch_always_sqp_after_tick1():
+    """Default MIXED reproduces the reference's ACTUAL tick-2+ behavior
+    (OptimalControlProblem.cpp:92,153-161: `res` is freshly
+    default-constructed each call, so the f>1e-6 IPOPT branch never fires):
+    every tick after the first runs the SQP engine even when the objective
+    stays large."""
+    frame = di.initial_state(pos=(5.0, -5.0))  # large tracking error
+    ref = np.tile([4.0, 4.0], 8)  # nonzero optimal cost >> 1e-6
+    ocp = di.build(small_config(solve_method="MIXED"))
+    ocp.compute_optimal_trajectory(frame, ref)  # tick 1: IPOPT
+    assert ocp.get_solver_stats() == {}  # host tick -> no TPU stats
+    ocp.compute_optimal_trajectory(frame, ref)  # tick 2: must be TPU SQP
+    assert ocp.get_solver_stats() != {}  # TPU stats present -> SQP ran
+
+
+def test_mixed_intent_dispatch_uses_host_on_large_objective():
+    """mixed_dispatch='intent' (opt-in) keeps falling back to the host
+    interior-point while the previous objective exceeds 1e-6."""
+    frame = di.initial_state(pos=(5.0, -5.0))
+    ref = np.tile([4.0, 4.0], 8)
+    ocp = di.build(
+        small_config(solve_method="MIXED", mixed_dispatch="intent")
+    )
+    ocp.compute_optimal_trajectory(frame, ref)  # tick 1: IPOPT
+    ocp.compute_optimal_trajectory(frame, ref)  # f >> 1e-6 -> IPOPT again
+    assert ocp.get_solver_stats() == {}  # still no TPU solve
+
+
+def test_mixed_dispatch_validation():
+    with pytest.raises(ValueError, match="mixed_dispatch"):
+        di.build(small_config(solve_method="MIXED", mixed_dispatch="bogus"))
+
+
 def test_sym_api_problem():
     """Build a problem through the CasADi-style Sym API end to end
     (get_variable slices + add_vector_cost + add_equation_constraint)."""

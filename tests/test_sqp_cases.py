@@ -256,3 +256,81 @@ def test_merit_line_search_rejects_unknown_rule():
     )
     with pytest.raises(ValueError, match="line_search"):
         di.build(cfg)
+
+
+def test_parity_preset_fields():
+    """SQPOptions.parity() pins the exact reference semantics
+    (SQPOptimizationSolver.cpp:12-17, 50-58, 174-177): augmented z, raw
+    objective Hessian, fixed damped step alpha=0.1 x 10, no line search,
+    no shared-system shortcut."""
+    opt = SQPOptions.parity()
+    assert opt.formulation == "augmented"
+    assert opt.hessian_reg == 0.0
+    assert opt.line_search == "none"
+    assert opt.alpha == 0.1
+    assert opt.max_iter == 10
+    assert opt.shared_system is False
+    # Overrides pass through.
+    opt2 = SQPOptions.parity(verbose=True, max_iter=4)
+    assert opt2.verbose and opt2.max_iter == 4 and opt2.hessian_reg == 0.0
+
+
+def test_parity_preset_damped_trajectory():
+    """End-to-end with the parity preset: the damped fixed-iteration factor
+    1 - 0.9^10 is hit exactly (the strongest single-case trajectory pin
+    available without CasADi/OSQP in this image)."""
+    x = S.sym("x", 2)
+    nlp = {"x": x, "f": x[0] ** 2 + x[1] ** 2, "g": x[0] + x[1] - 1.0}
+    solver = SQPOptimizationSolver(
+        nlp,
+        SQPOptions.parity(admm=ADMMSettings(eps_abs=1e-5, eps_rel=1e-5)),
+    )
+    res = solver.get_optimal_solution(
+        arg_of([-50, -100], [50, 100], [0.0], [0.0])
+    )
+    factor = 1.0 - 0.9 ** 10
+    np.testing.assert_allclose(res["x"], [0.5 * factor] * 2, atol=5e-4)
+
+
+def test_early_exit_verbose_tie(capsys):
+    """The ||alpha*dx|| < 1e-6 break is checked only when verbose
+    (SQPOptimizationSolver.cpp:189-196): verbose=True stops early on a QP
+    solved exactly in one full step; verbose=False runs all iterations."""
+    x = S.sym("x", 2)
+    nlp = {"x": x, "f": (x[0] - 1.0) ** 2 + (x[1] + 2.0) ** 2}
+    kw = dict(max_iter=8, alpha=1.0,
+              admm=ADMMSettings(eps_abs=1e-6, eps_rel=1e-6))
+    quiet = SQPOptimizationSolver(nlp, SQPOptions(**kw))
+    res_q = quiet.get_optimal_solution(arg_of([-50, -50], [50, 50]))
+    assert int(quiet.last_result.steps_taken) == 8
+
+    loud = SQPOptimizationSolver(nlp, SQPOptions(verbose=True, **kw))
+    res_l = loud.get_optimal_solution(arg_of([-50, -50], [50, 50]))
+    taken = int(loud.last_result.steps_taken)
+    assert taken < 8  # converged in a couple of full steps -> early break
+    # Frozen iterations change nothing: same answer as the full run.
+    np.testing.assert_allclose(res_l["x"], res_q["x"], atol=1e-5)
+    np.testing.assert_allclose(res_l["x"], [1.0, -2.0], atol=1e-3)
+    out = capsys.readouterr().out
+    assert "early exit" in out
+    # qp_iters report 0 for frozen steps.
+    qp_iters = np.asarray(loud.last_result.qp_iters)
+    assert np.all(qp_iters[taken + 1:] == 0)
+
+
+def test_early_exit_explicit_override():
+    """early_exit=True forces the break even when quiet; early_exit=False
+    disables it even when verbose."""
+    x = S.sym("x", 2)
+    nlp = {"x": x, "f": (x[0] - 1.0) ** 2 + (x[1] + 2.0) ** 2}
+    kw = dict(max_iter=8, alpha=1.0,
+              admm=ADMMSettings(eps_abs=1e-6, eps_rel=1e-6))
+    forced = SQPOptimizationSolver(nlp, SQPOptions(early_exit=True, **kw))
+    forced.get_optimal_solution(arg_of([-50, -50], [50, 50]))
+    assert int(forced.last_result.steps_taken) < 8
+
+    off = SQPOptimizationSolver(
+        nlp, SQPOptions(verbose=True, early_exit=False, **kw)
+    )
+    off.get_optimal_solution(arg_of([-50, -50], [50, 50]))
+    assert int(off.last_result.steps_taken) == 8
