@@ -134,6 +134,7 @@ class SolverSettings:
         # TPU-specific extensions (all optional, defaults match reference
         # semantics as closely as possible).
         self.formulation = str(node.get("formulation", "augmented"))
+        self.qp_warm_start_explicit = "qp_warm_start" in node
         self.qp_warm_start = bool(node.get("qp_warm_start", True))
         ss = node.get("shared_system", None)
         self.shared_system = None if ss is None else bool(ss)
@@ -471,7 +472,11 @@ class OptimalControlProblem:
             )
             if getattr(st, "parity", False):
                 # Reference-parity preset: pins formulation/hessian_reg/
-                # line_search/shared_system to the exact cpp semantics.
+                # line_search/shared_system/qp_warm_start to the exact cpp
+                # semantics (QPs cold-start unless the user explicitly set
+                # qp_warm_start in the config).
+                if not getattr(st, "qp_warm_start_explicit", True):
+                    kw.pop("qp_warm_start", None)
                 options = SQPOptions.parity(**kw)
             else:
                 options = SQPOptions(

@@ -65,8 +65,7 @@ def build_native_lib(force: bool = False) -> ctypes.CDLL:
             raise RuntimeError(f"native build failed:\n{proc.stderr}")
     lib = ctypes.CDLL(str(out))
     f32p = ctypes.POINTER(ctypes.c_float)
-    lib.ref_admm_solve.restype = ctypes.c_int
-    lib.ref_admm_solve.argtypes = [
+    argtypes = [
         ctypes.c_int,
         ctypes.c_int,
         f32p,
@@ -88,6 +87,11 @@ def build_native_lib(force: bool = False) -> ctypes.CDLL:
         f32p,
         f32p,
     ]
+    # f32 internals (OSQP_USE_FLOAT=ON analog) + f64 second opinion.
+    for sym in ("ref_admm_solve", "ref_admm_solve_f64"):
+        fn = getattr(lib, sym)
+        fn.restype = ctypes.c_int
+        fn.argtypes = argtypes
     _lib = lib
     return lib
 
@@ -123,8 +127,16 @@ def native_admm_solve(
     max_iter: int = 10000,
     check_every: int = 25,
     scaling_iters: int = 10,
+    internal_f64: bool = False,
 ) -> NativeQPSolution:
-    """Solve ``min 1/2 x'Px + q'x  s.t. l <= Ax <= u`` with the C++ oracle."""
+    """Solve ``min 1/2 x'Px + q'x  s.t. l <= Ax <= u`` with the C++ oracle.
+
+    ``internal_f64=False`` (default) computes every Ruiz pass, factorization,
+    iteration, and residual in float32 — the faithful analog of the
+    reference's OSQP build (``OSQP_USE_FLOAT=ON``, ``cuda_install.sh:44``).
+    ``internal_f64=True`` keeps the f32 I/O but iterates in double for a
+    higher-precision second opinion.
+    """
     lib = build_native_lib()
     n = int(P.shape[0])
     m = int(A.shape[0]) if A.size else 0
@@ -142,7 +154,8 @@ def native_admm_solve(
     def ptr(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
-    status = lib.ref_admm_solve(
+    entry = lib.ref_admm_solve_f64 if internal_f64 else lib.ref_admm_solve
+    status = entry(
         n,
         m,
         ptr(Pf),

@@ -139,9 +139,13 @@ class SQPOptions:
 
         Augmented z=[p;x] formulation, raw objective Hessian (reg 0.0,
         cpp:58), fixed damped step alpha=0.1 x step_num=10 with no line
-        search, early exit off (non-verbose reference behavior), and the
-        per-scenario QP path (no shared-factorization shortcut).  Override
-        any field by keyword, e.g. ``SQPOptions.parity(verbose=True)``.
+        search, early exit off (non-verbose reference behavior), the
+        per-scenario QP path (no shared-factorization shortcut), and
+        COLD-started QPs: the reference calls ``initSolver()`` afresh every
+        SQP iteration (``CuCaQP.cpp:183-197`` clears and re-creates the OSQP
+        workspace), so its ``warm_start`` setting never actually carries
+        primal/dual state between iterations.  Override any field by
+        keyword, e.g. ``SQPOptions.parity(verbose=True)``.
         """
         base = dict(
             formulation="augmented",
@@ -150,6 +154,7 @@ class SQPOptions:
             alpha=0.1,
             max_iter=10,
             shared_system=False,
+            qp_warm_start=False,
         )
         base.update(overrides)
         return cls(**base)
