@@ -63,7 +63,7 @@ def main():
             fr = cartpole.initial_state(th=0.2 + 0.15 * b).astype(np.float32)
             lxb[b, 0] = fr
             uxb[b, 0] = fr
-        xb, _ = sqp_solve_seq_parallel(
+        xb, _, _ = sqp_solve_seq_parallel(
             ss,
             jnp.zeros((B, H, cartpole.FRAME), jnp.float32),
             jnp.asarray(np.tile(ref[None], (B, 1, 1))),
@@ -83,7 +83,7 @@ def main():
 
     sub = list(jax.devices())[: max(2, n_dev // 2)]
     mesh = make_mesh(("h",), devices=sub)
-    x, its = sqp_solve_seq_parallel(
+    x, its, _status = sqp_solve_seq_parallel(
         ss,
         jnp.zeros((H, cartpole.FRAME), jnp.float32),
         jnp.asarray(ref),

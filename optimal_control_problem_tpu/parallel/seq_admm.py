@@ -420,6 +420,79 @@ def seq_admm_local(
         done = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
         return done, r_prim, r_dual, max_prim, max_dual
 
+    def certificates(dx, dyx, dyd, dyc):
+        """OSQP infeasibility certificates (Banjac et al.) on one check
+        block's SCALED iterate deltas; every test runs on unscaled
+        quantities (same conventions as ``residuals``).  Reductions span
+        the HORIZON axis only — a certificate is a per-problem statement,
+        so on a 2-D (scenarios x horizon) mesh each scenario keeps its own
+        flags (varying over the batch axis); the loop-exit scalar is
+        reduced separately in the caller."""
+        tiny = jnp.asarray(1e-12, dtype)
+        pm = lambda t: jax.lax.pmax(t, axis)
+        ps = lambda t: jax.lax.psum(t, axis)
+        cat = lambda a, b, c_: jnp.concatenate(
+            [a.reshape(-1), b.reshape(-1), c_.reshape(-1)]
+        )
+        exi, edi, eci = 1.0 / Exs, 1.0 / Eds, 1.0 / Ecs
+        dvi = 1.0 / Dv
+        # -- primal infeasibility: delta_y with A^T dy ~ 0 and support
+        #    function u'(dy)_+ + l'(dy)_- < 0 (padded dynamics rows carry
+        #    zero deltas by construction: one_iter masks yd with dyn_valid).
+        dyd = dyd * dyn_valid if r else dyd
+        dyx_u = dyx * exi * cinv
+        dyd_u = dyd * edi * cinv if r else dyd
+        dyc_u = dyc * eci * cinv if r2 else dyc
+        ndy = pm(jnp.max(jnp.abs(cat(dyx_u, dyd_u, dyc_u))))
+
+        def support_of(dy_u, lo_s, hi_s, e_inv):
+            # Masked products so inf * 0 cannot produce NaN; an infinite
+            # bound with matching delta sign yields +inf, correctly
+            # blocking the certificate.
+            dy_p = jnp.maximum(dy_u, 0.0)
+            dy_m = jnp.minimum(dy_u, 0.0)
+            t_u = jnp.where(dy_p > 0, (hi_s * e_inv) * dy_p, 0.0)
+            t_l = jnp.where(dy_m < 0, (lo_s * e_inv) * dy_m, 0.0)
+            return jnp.sum(t_u + t_l)
+
+        support = support_of(dyx_u, lx, ux, exi)
+        if r:
+            support = support + support_of(dyd_u, ld, ud, edi)
+        if r2:
+            support = support + support_of(dyc_u, lc, uc, eci)
+        support = ps(support)
+        atdy_u = cinv * apply_AT(dyx, dyd, dyc) * dvi
+        n_Atdy = pm(jnp.max(jnp.abs(atdy_u)))
+        pinf = jnp.logical_and(
+            ndy > tiny,
+            jnp.logical_and(
+                support < -st.eps_prim_inf * ndy,
+                n_Atdy < st.eps_prim_inf * ndy,
+            ),
+        )
+        # -- dual infeasibility: delta_x with P dx ~ 0, q'dx < 0 and A dx
+        #    consistent with a feasible recession direction.
+        dx_u = Dv * dx
+        ndx = pm(jnp.max(jnp.abs(dx_u)))
+        thr = st.eps_dual_inf * ndx
+        cond_q = ps(jnp.sum(q * dx)) * cinv < -thr
+        Pdx_u = cinv * jnp.einsum("kij,kj->ki", Hb, dx) * dvi
+        cond_P = pm(jnp.max(jnp.abs(Pdx_u))) < thr
+        ax, ad, ac = apply_A(dx)
+        adx_u = cat(ax * exi, ad * dyn_valid * edi, ac * eci)
+        lo_u = cat(lx * exi, ld * edi, lc * eci)
+        hi_u = cat(ux * exi, ud * edi, uc * eci)
+        below = jnp.all(jnp.where(hi_u < jnp.inf, adx_u < thr, True))
+        above = jnp.all(jnp.where(lo_u > -jnp.inf, adx_u > -thr, True))
+        # all() must hold on EVERY device: pmax-reduce the violation flag.
+        viol = jnp.logical_not(jnp.logical_and(below, above)).astype(dtype)
+        cond_A = pm(viol) < 0.5
+        dinf = jnp.logical_and(
+            ndx > tiny,
+            jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
+        )
+        return pinf, dinf
+
     # ---- rho rounds: SPIKE setup once per adaptation interval ----------
     # Collectives must execute uniformly, so adaptation is round-based:
     # each outer round refactorizes with the current rho (the trigger is a
@@ -435,47 +508,85 @@ def seq_admm_local(
     else:
         interval = st.max_iter
 
-    def run_round(rhos, it0, carry, done):
+    def stop_of(done, pinf, dinf):
+        """Replicated loop-exit scalar: every scenario converged OR
+        certified.  ``done`` is already globally synced; the per-scenario
+        certificate flags (varying over an outer batch mesh axis) reduce
+        here so trip counts stay uniform across ALL devices."""
+        go = jnp.logical_not(
+            jnp.logical_or(done, jnp.logical_or(pinf, dinf))
+        ).astype(dtype)
+        return jax.lax.pmax(go, sync_axes) < 0.5
+
+    def run_round(rhos, it0, carry, done, pinf, dinf, stop):
         ops = spike_setup(*rhos)
 
         def icond(s):
-            k, carry, done, _ = s
+            k, carry, done, pinf, dinf, stop, _ = s
             return jnp.logical_and(
                 k < interval,
-                jnp.logical_and(it0 + k < st.max_iter, jnp.logical_not(done)),
+                jnp.logical_and(it0 + k < st.max_iter, jnp.logical_not(stop)),
             )
 
         def ibody(s):
-            k, carry, done, _ = s
+            k, carry, done, pinf, dinf, stop, _ = s
+            x_o, yx_o, yd_o, yc_o = carry[0], carry[4], carry[5], carry[6]
             carry = jax.lax.fori_loop(
                 0, st.check_every, lambda _, c: one_iter(rhos, ops, c), carry
             )
             done, rp, rd, mp, md = residuals(*carry)
-            return k + st.check_every, carry, done, (rp, rd, mp, md)
+            if st.check_infeasibility:
+                pi, di_ = certificates(
+                    carry[0] - x_o,
+                    carry[4] - yx_o,
+                    carry[5] - yd_o,
+                    carry[6] - yc_o,
+                )
+                pinf = jnp.logical_or(
+                    pinf, jnp.logical_and(pi, jnp.logical_not(done))
+                )
+                dinf = jnp.logical_or(
+                    dinf, jnp.logical_and(di_, jnp.logical_not(done))
+                )
+            stop = stop_of(done, pinf, dinf)
+            return (
+                k + st.check_every, carry, done, pinf, dinf, stop,
+                (rp, rd, mp, md),
+            )
 
         # Init residual slots with the same varying-axes type as the
         # pmax-reduced outputs of residuals() (unvarying over sync_axes).
         zero = 0.0 * jax.lax.pmax(jnp.max(jnp.abs(q)), sync_axes)
-        k, carry, done, (rp, rd, mp, md) = jax.lax.while_loop(
-            icond, ibody, (jnp.asarray(0, jnp.int32), carry, done,
-                           (zero, zero, zero, zero))
+        k, carry, done, pinf, dinf, stop, (rp, rd, mp, md) = (
+            jax.lax.while_loop(
+                icond, ibody,
+                (jnp.asarray(0, jnp.int32), carry, done, pinf, dinf, stop,
+                 (zero, zero, zero, zero)),
+            )
         )
-        return k, carry, done, (rp, rd, mp, md)
+        return k, carry, done, pinf, dinf, stop, (rp, rd, mp, md)
 
     carry0 = (x, zx, zd, zc, yx, yd, yc)
     # Evaluate termination once up front: gives a correctly-typed initial
     # flag (unvarying over the pmax axis, varying over any enclosing batch
     # axes) and an immediate exit for already-converged warm starts.
     done0, *_ = residuals(*carry0)
+    # Certificate flags are per-scenario: unvarying over the horizon axis
+    # only (certificates() reduces over `axis`), varying over any batch
+    # mesh axis — type the False inits accordingly.
+    false0 = jax.lax.pmax(jnp.max(jnp.abs(q)), axis) < -1.0
+    stop0 = stop_of(done0, false0, false0)
     rhos0 = (rho_x, rho_d, rho_c)
 
     def ocond(s):
-        it, carry, rhos, done = s
-        return jnp.logical_and(it < st.max_iter, jnp.logical_not(done))
+        it, carry, rhos, done, pinf, dinf, stop = s
+        return jnp.logical_and(it < st.max_iter, jnp.logical_not(stop))
 
     def obody(s):
-        it, carry, rhos, done = s
-        k, carry, done, (rp, rd, mp, md) = run_round(rhos, it, carry, done)
+        it, carry, rhos, done, pinf, dinf, stop = s
+        k, carry, done, pinf, dinf, stop, (rp, rd, mp, md) = run_round(
+            rhos, it, carry, done, pinf, dinf, stop
+        )
         it = it + k
         if st.adaptive_rho:
             # OSQP rho rule on globally-reduced (replicated) residuals —
@@ -491,17 +602,19 @@ def seq_admm_local(
                 scale < 1.0 / st.adaptive_rho_tolerance,
             )
             s_eff = jnp.where(
-                jnp.logical_and(trigger, jnp.logical_not(done)), scale, 1.0
+                jnp.logical_and(trigger, jnp.logical_not(stop)), scale, 1.0
             )
             rho_x_n = jnp.clip(rhos[0] * s_eff, _RHO_MIN, _RHO_MAX)
             rho_d_n = jnp.clip(rhos[1] * s_eff, _RHO_MIN, _RHO_MAX)
             rho_c_n = jnp.clip(rhos[2] * s_eff, _RHO_MIN, _RHO_MAX)
             rho_d_n = rho_d_n * dyn_valid + (1 - dyn_valid) * _RHO_MIN
             rhos = (rho_x_n, rho_d_n, rho_c_n)
-        return it, carry, rhos, done
+        return it, carry, rhos, done, pinf, dinf, stop
 
-    it, carry, rhos, done = jax.lax.while_loop(
-        ocond, obody, (jnp.asarray(0, jnp.int32), carry0, rhos0, done0)
+    it, carry, rhos, done, pinf, dinf, stop = jax.lax.while_loop(
+        ocond, obody,
+        (jnp.asarray(0, jnp.int32), carry0, rhos0, done0, false0, false0,
+         stop0),
     )
     x, zx, zd, zc, yx, yd, yc = carry
     x_u = Dv * x
@@ -511,7 +624,8 @@ def seq_admm_local(
         Eds * yd * cinv if r else yd,
         Ecs * yc * cinv if r2 else yc,
     )
-    return x_u, jnp.full((C,), it, jnp.int32), jnp.full((C,), done), warm_u
+    full = lambda t: jnp.full((C,), t)
+    return x_u, jnp.full((C,), it, jnp.int32), full(done), full(pinf), full(dinf), warm_u
 
 
 def admm_solve_seq_parallel(
@@ -523,8 +637,11 @@ def admm_solve_seq_parallel(
 ):
     """Solve the stage-structured QP with stages sharded over ``mesh[axis]``.
 
-    Returns ``(x (N, w), iters, converged)``.  Iterates are sharded
-    per-stage; only interface-sized data crosses devices.
+    Returns ``(x (N, w), iters, converged, prim_inf, dual_inf)``.  Iterates
+    are sharded per-stage; only interface-sized data crosses devices.
+    ``prim_inf``/``dual_inf`` are the OSQP infeasibility certificates
+    (False-filled when ``settings.check_infeasibility`` is off); a certified
+    QP exits the loop early instead of running to ``max_iter``.
     """
     N, w, _ = qp.Hb.shape
     r = qp.J0.shape[1]
@@ -538,11 +655,11 @@ def admm_solve_seq_parallel(
     st = settings
 
     def body(Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc):
-        x, it, done, _warm = seq_admm_local(
+        x, it, done, pinf, dinf, _warm = seq_admm_local(
             Hb, J0, J1, Jc, q, lx, ux, ld, ud, lc, uc,
             settings=st, axis=axis, D=D,
         )
-        return x, it, done
+        return x, it, done, pinf, dinf
 
     shard = NamedSharding(mesh, P(axis))
     args = [jax.device_put(a, shard) for a in qp]
@@ -552,9 +669,9 @@ def admm_solve_seq_parallel(
                 body,
                 mesh=mesh,
                 in_specs=tuple(P(axis) for _ in qp),
-                out_specs=(P(axis), P(axis), P(axis)),
+                out_specs=tuple(P(axis) for _ in range(5)),
             )
         )
     )
-    x, its, dones = solve(*args)
-    return x, its[0], dones[0]
+    x, its, dones, pinfs, dinfs = solve(*args)
+    return x, its[0], dones[0], pinfs[0], dinfs[0]

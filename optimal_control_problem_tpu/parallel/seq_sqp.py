@@ -16,8 +16,9 @@ This scales MPC horizons across chips the way context parallelism scales
 sequence length (SURVEY.md sections 2, 5) — nothing global is ever
 materialized.
 
-Scope (v1): reduced formulation, fixed rho, no cross-iteration QP warm
-start (affects iteration counts, not solutions).
+Scope: reduced formulation.  QP warm starts are threaded across SQP
+iterations (the ``warm`` carry) and rho adapts round-based inside
+:func:`.seq_admm.seq_admm_local` when ``settings.adaptive_rho`` is on.
 
 2-D meshes: pass ``batch_axis`` and batched ``(B, N, w)`` inputs to shard
 scenarios over one mesh axis and the horizon over another — the per-scenario
@@ -152,7 +153,7 @@ def sqp_solve_seq_parallel(
                 lc = jnp.zeros((C, 0), dtype)
                 uc = jnp.zeros((C, 0), dtype)
 
-            dx, it, done, warm_out = seq_admm_local(
+            dx, it, done, pinf, dinf, warm_out = seq_admm_local(
                 Hb,
                 J0,
                 J1,
@@ -204,7 +205,8 @@ def sqp_solve_seq_parallel(
 
                 merits = jax.lax.psum(jax.vmap(local_merit)(cand), axis)
                 x_new = x_l + al[jnp.argmin(merits)] * dx
-            return (x_new, warm_out), it[0]
+            status = jnp.stack([done[0], pinf[0], dinf[0]])
+            return (x_new, warm_out), (it[0], status)
 
         warm0 = (
             x_l * 0.0,
@@ -212,26 +214,26 @@ def sqp_solve_seq_parallel(
             jnp.zeros((C, r), dtype) + x_l[:, :1] * 0.0,
             jnp.zeros((C, r2), dtype) + x_l[:, :1] * 0.0,
         )
-        (x_l, _), its = jax.lax.scan(
+        (x_l, _), (its, status) = jax.lax.scan(
             sqp_iter, (x_l, warm0), None, length=sqp_iters
         )
-        # its is replicated (computed from collectives); emit per-device and
-        # let the host read one copy.
-        return x_l, its[None]
+        # its/status are replicated (computed from collectives); emit
+        # per-device and let the host read one copy.
+        return x_l, its[None], status[None]
 
     if batch_axis is None:
         spec = P(axis)
         fn = body
-        out_specs = (P(axis), P(axis))
+        out_specs = (P(axis), P(axis), P(axis))
     else:
         spec = P(batch_axis, axis)
-        out_specs = (P(batch_axis, axis), P(batch_axis, axis))
+        out_specs = tuple(P(batch_axis, axis) for _ in range(3))
 
         def fn(x_b, ref_b, lx_b, ux_b):
             # vmap the per-scenario computation (its 'axis' collectives
             # batch across the local scenario shard).
-            x_o, its_o = jax.vmap(body)(x_b, ref_b, lx_b, ux_b)
-            return x_o, its_o
+            x_o, its_o, st_o = jax.vmap(body)(x_b, ref_b, lx_b, ux_b)
+            return x_o, its_o, st_o
 
     shard = NamedSharding(mesh, spec)
     put = lambda a: jax.device_put(a, shard)
@@ -245,7 +247,13 @@ def sqp_solve_seq_parallel(
             )
         )
     )
-    x, its = solve(put(x0), put(ref), put(lx), put(ux))
+    x, its, status = solve(put(x0), put(ref), put(lx), put(ux))
+    # status: per-SQP-iteration (converged, prim_inf, dual_inf) bool triples,
+    # shape (sqp_iters, 3) — the sharded analog of SQPResult.qp_* flags.
     if batch_axis is None:
-        return x, its.reshape(D, -1)[0]
-    return x, its[0].reshape(D, -1)[0]
+        return x, its.reshape(D, -1)[0], status.reshape(D, sqp_iters, 3)[0]
+    return (
+        x,
+        its[0].reshape(D, -1)[0],
+        status[0].reshape(D, sqp_iters, 3)[0],
+    )

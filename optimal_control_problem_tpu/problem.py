@@ -155,6 +155,11 @@ class SolverSettings:
             backend=str(admm_node.get("backend", "xla")),
             precision=str(admm_node.get("precision", "highest")),
             polish=bool(admm_node.get("polish", False)),
+            check_infeasibility=bool(
+                admm_node.get("check_infeasibility", True)
+            ),
+            eps_prim_inf=float(admm_node.get("eps_prim_inf", 1e-4)),
+            eps_dual_inf=float(admm_node.get("eps_dual_inf", 1e-4)),
         )
         # Whether the user pinned the QP method; when absent, gen_solver is
         # free to auto-select "banded" for long-horizon stage structures.

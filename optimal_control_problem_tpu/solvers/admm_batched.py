@@ -75,6 +75,13 @@ class BatchQPSolution(NamedTuple):
     converged: jnp.ndarray  # (B,) bool
     r_prim: jnp.ndarray  # (B,)
     r_dual: jnp.ndarray  # (B,)
+    # Per-scenario OSQP infeasibility certificates (Banjac et al.), same
+    # semantics as :class:`.admm.QPSolution`: ``prim_inf[b]`` marks scenario
+    # b's QP certified primal infeasible, ``dual_inf[b]`` unbounded.  The
+    # whole-batch loop exits early when every scenario is converged OR
+    # certified.  False-filled when ``settings.check_infeasibility`` is off.
+    prim_inf: jnp.ndarray = False  # noqa: RUF009 - NamedTuple default
+    dual_inf: jnp.ndarray = False
 
 
 class SharedQPFactor(NamedTuple):
@@ -193,7 +200,8 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
 
     l = jnp.minimum(l.astype(dtype), u.astype(dtype))
     u = u.astype(dtype)
-    qb = c * q.astype(dtype) * D[None, :]
+    q_orig = q.astype(dtype)  # unscaled, for infeasibility certificates
+    qb = c * q_orig * D[None, :]
     lb = l * E[None, :]
     ub = u * E[None, :]
 
@@ -247,19 +255,87 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
         rd_rel = r_dual / jnp.maximum(max_dual, 1e-12)
         return r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel
 
+    def infeasibility_certificates(dx_b, dy_b):
+        """Per-scenario OSQP certificates on one check block's iterate deltas.
+
+        ``dx_b``/``dy_b`` are SCALED deltas (B, n)/(B, m); all tests run on
+        unscaled quantities like OSQP's ``auxil.c`` (and admm.py's
+        single-problem version).  Matvecs reuse the scaled operators:
+        ``A = E^-1 Ab D^-1``, ``P = c^-1 D^-1 Pb D^-1``.
+        """
+        tiny = jnp.asarray(1e-12, dtype)
+        dx_u = dx_b * D[None, :]
+        dy_u = dy_b * E[None, :] * cinv
+        # -- primal infeasibility: delta_y with A^T dy ~ 0 and support
+        #    function u'(dy)_+ + l'(dy)_- < 0 (per scenario).
+        ndy = jnp.max(jnp.abs(dy_u), axis=1)
+        dy_p = jnp.maximum(dy_u, 0.0)
+        dy_m = jnp.minimum(dy_u, 0.0)
+        # Masked products so inf * 0 cannot produce NaN; an infinite bound
+        # with matching delta sign yields +inf, correctly blocking the
+        # certificate.
+        t_u = jnp.where(dy_p > 0, u * dy_p, 0.0)
+        t_l = jnp.where(dy_m < 0, l * dy_m, 0.0)
+        support = jnp.sum(t_u + t_l, axis=1)
+        # A^T dy_u = c^-1 D^-1 (Ab^T dy_scaled): feed the scaled delta.
+        n_Atdy = jnp.max(
+            jnp.abs((dy_b @ Ab) * Dinv[None, :]) * cinv, axis=1
+        )
+        pinf = jnp.logical_and(
+            ndy > tiny,
+            jnp.logical_and(
+                support < -st.eps_prim_inf * ndy,
+                n_Atdy < st.eps_prim_inf * ndy,
+            ),
+        )
+        # -- dual infeasibility: delta_x with P dx ~ 0, q'dx < 0 and A dx
+        #    consistent with a feasible recession direction.
+        ndx = jnp.max(jnp.abs(dx_u), axis=1)
+        thr = st.eps_dual_inf * ndx
+        cond_q = jnp.sum(q_orig * dx_u, axis=1) < -thr
+        Pdx = cinv * (dx_b @ Pb) * Dinv[None, :]
+        cond_P = jnp.max(jnp.abs(Pdx), axis=1) < thr
+        Adx = (dx_b @ Ab.T) * Einv[None, :]
+        cond_A = jnp.logical_and(
+            jnp.all(jnp.where(u < jnp.inf, Adx < thr[:, None], True), axis=1),
+            jnp.all(jnp.where(l > -jnp.inf, Adx > -thr[:, None], True), axis=1),
+        )
+        dinf = jnp.logical_and(
+            ndx > tiny,
+            jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
+        )
+        return pinf, dinf
+
     def cond_fn(state):
-        it, x, z, y, rho, OP, all_done, conv, rp, rd = state
+        it, x, z, y, rho, OP, all_done, conv, pinf, dinf, rp, rd = state
         return jnp.logical_and(it < st.max_iter, jnp.logical_not(all_done))
 
     def body_fn(state):
-        it, x, z, y, rho, OP, all_done, conv, _, _ = state
+        it, x, z, y, rho, OP, all_done, conv, pinf, dinf, _, _ = state
+        x_old, y_old = x, y
         (x, z, y, rho, OP), _ = jax.lax.scan(
             one_iter, (x, z, y, rho, OP), None, length=st.check_every
         )
         it = it + st.check_every
         r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel = residuals(x, z, y)
         conv = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
-        all_done = jnp.all(conv)
+        if st.check_infeasibility:
+            pinf_new, dinf_new = infeasibility_certificates(
+                x - x_old, y - y_old
+            )
+            # Sticky: once a scenario is certified it stays certified (the
+            # batch keeps iterating, so later check blocks could otherwise
+            # drop a certificate when the deltas change under rho adaptation).
+            pinf = jnp.logical_or(
+                pinf, jnp.logical_and(pinf_new, jnp.logical_not(conv))
+            )
+            dinf = jnp.logical_or(
+                dinf, jnp.logical_and(dinf_new, jnp.logical_not(conv))
+            )
+        # Early exit when every scenario is converged OR certified
+        # infeasible/unbounded (certified scenarios would otherwise diverge
+        # and hold the whole batch at max_iter).
+        all_done = jnp.all(jnp.logical_or(conv, jnp.logical_or(pinf, dinf)))
 
         if st.adaptive_rho and m:
             # OSQP rho adaptation, batch-shared: rho *= sqrt(rel primal res
@@ -268,8 +344,16 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
             # fixed rho stalls the dual residual at the precision floor.
             def maybe_adapt(args):
                 rho, OP = args
+                # Aggregate only over still-active scenarios: a certified
+                # infeasible/unbounded scenario's residuals diverge and would
+                # otherwise poison the batch-shared rho for everyone else.
+                act = jnp.logical_not(
+                    jnp.logical_or(conv, jnp.logical_or(pinf, dinf))
+                ).astype(dtype)
+                cnt = jnp.maximum(jnp.sum(act), 1.0)
                 scale = jnp.sqrt(
-                    jnp.mean(rp_rel) / jnp.maximum(jnp.mean(rd_rel), 1e-12)
+                    (jnp.sum(rp_rel * act) / cnt)
+                    / jnp.maximum(jnp.sum(rd_rel * act) / cnt, 1e-12)
                 )
                 scale = jnp.clip(scale, 1e-3, 1e3)
                 trigger = jnp.logical_or(
@@ -295,9 +379,10 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
                 do_adapt, maybe_adapt, lambda a: a, (rho, OP)
             )
 
-        return (it, x, z, y, rho, OP, all_done, conv, r_prim, r_dual)
+        return (it, x, z, y, rho, OP, all_done, conv, pinf, dinf, r_prim, r_dual)
 
     inf_b = jnp.full((B,), jnp.inf, dtype)
+    false_b = jnp.zeros((B,), bool)
     state = (
         jnp.asarray(0, jnp.int32),
         x,
@@ -306,11 +391,13 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
         rho_v0,
         OP0,
         jnp.asarray(False),
-        jnp.zeros((B,), bool),
+        false_b,
+        false_b,
+        false_b,
         inf_b,
         inf_b,
     )
-    it, x, z, y, rho_f, OP_f, all_done, conv, r_prim, r_dual = (
+    it, x, z, y, rho_f, OP_f, all_done, conv, pinf, dinf, r_prim, r_dual = (
         jax.lax.while_loop(cond_fn, body_fn, state)
     )
 
@@ -322,6 +409,8 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
         converged=conv,
         r_prim=r_prim,
         r_dual=r_dual,
+        prim_inf=pinf,
+        dual_inf=dinf,
     )
 
 

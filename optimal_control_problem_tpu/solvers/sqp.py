@@ -943,9 +943,12 @@ class SQPOptimizationSolver:
                 x_new = x + alpha * dx
                 fval = f_b(x_new, p)
                 step_norm = jnp.linalg.norm(alpha * dx, axis=1)
-                return (x_new, sol.x, sol.y), (fval, sol.iters, step_norm)
+                status = (sol.converged, sol.prim_inf, sol.dual_inf)
+                return (x_new, sol.x, sol.y), (
+                    fval, sol.iters, step_norm, status
+                )
 
-            (x, qpx, qpy), (f_hist, qp_iters, step_norms) = jax.lax.scan(
+            (x, qpx, qpy), (f_hist, qp_iters, step_norms, status) = jax.lax.scan(
                 sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
             )
             return SQPResult(
@@ -956,6 +959,9 @@ class SQPOptimizationSolver:
                 f_history=f_hist,
                 qp_iters=qp_iters,
                 step_norms=step_norms,
+                qp_converged=status[0],
+                qp_prim_inf=status[1],
+                qp_dual_inf=status[2],
             )
 
         return jax.jit(solve_batch)

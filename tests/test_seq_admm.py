@@ -89,7 +89,7 @@ def test_seq_parallel_matches_single_device(seed, N, w, r, r2):
     qp = random_stage_qp(seed, N, w, r, r2)
     ref = admm_solve_banded(qp, SET)
     assert bool(ref.converged)
-    x, iters, done = admm_solve_seq_parallel(
+    x, iters, done, pinf, dinf = admm_solve_seq_parallel(
         to_sharded(qp), SET, mesh=mesh, axis="h"
     )
     assert bool(done)
@@ -118,7 +118,7 @@ def test_seq_parallel_ruiz_matches_single_device(seed, N, w, r, r2):
     qp = qp._replace(Hb=jnp.asarray(Hb))
     ref = admm_solve_banded(qp, st)
     assert bool(ref.converged)
-    x, iters, done = admm_solve_seq_parallel(
+    x, iters, done, pinf, dinf = admm_solve_seq_parallel(
         to_sharded(qp), st, mesh=mesh, axis="h"
     )
     assert bool(done)
@@ -135,7 +135,7 @@ def test_seq_parallel_adaptive_rho_matches_banded():
     qp = random_stage_qp(4, 16, 4, 3, 1)
     ref = admm_solve_banded(qp, st)
     assert bool(ref.converged)
-    x, iters, done = admm_solve_seq_parallel(
+    x, iters, done, pinf, dinf = admm_solve_seq_parallel(
         to_sharded(qp), st, mesh=mesh, axis="h"
     )
     assert bool(done)
@@ -145,3 +145,33 @@ def test_seq_parallel_adaptive_rho_matches_banded():
     # A deliberately bad rho start must still converge via adaptation well
     # before max_iter.
     assert int(iters) < st.max_iter
+
+def test_seq_parallel_infeasibility_certificate():
+    """Primal-infeasible banded QP (stage constraint pinned outside the box
+    bounds): the sharded path certifies prim_inf and exits early, matching
+    the single-device banded path's verdict."""
+    N, w, r, r2 = 16, 4, 3, 1
+    qp = random_stage_qp(5, N, w, r, r2)
+    # Stage-constraint row selects variable 0 and pins it to 5 while the box
+    # rows bound every variable to [-2, 2] -> no feasible point.
+    Jc = np.zeros((N, r2, w), np.float32)
+    Jc[:, 0, 0] = 1.0
+    l = np.asarray(qp.l).copy()
+    u = np.asarray(qp.u).copy()
+    n = N * w
+    l[n + (N - 1) * r :] = 5.0
+    u[n + (N - 1) * r :] = 5.0
+    qp = qp._replace(Jc=jnp.asarray(Jc), l=jnp.asarray(l), u=jnp.asarray(u))
+
+    ref = admm_solve_banded(qp, SET.replace(max_iter=4000))
+    assert bool(ref.prim_inf)
+    assert not bool(ref.converged)
+
+    mesh = make_mesh(("h",))
+    x, iters, done, pinf, dinf = admm_solve_seq_parallel(
+        to_sharded(qp), SET.replace(max_iter=4000), mesh=mesh, axis="h"
+    )
+    assert bool(pinf)
+    assert not bool(done)
+    assert not bool(dinf)
+    assert int(iters) < 4000  # early exit on the certificate

@@ -88,7 +88,7 @@ def test_seq_sqp_matches_single_device():
     mesh = make_mesh(("h",))
     ss, lx, ux, ref = problem()
     x0 = np.zeros((H, cartpole.FRAME), np.float32)
-    x_seq, its = sqp_solve_seq_parallel(
+    x_seq, its, qp_status = sqp_solve_seq_parallel(
         ss,
         jnp.asarray(x0),
         jnp.asarray(ref),
@@ -101,6 +101,12 @@ def test_seq_sqp_matches_single_device():
         axis="h",
     )
     assert its.shape == (SQP_ITERS,)
+    # Per-SQP-iteration QP status triples (converged, prim_inf, dual_inf):
+    # warm-started QPs converge within the test's iteration budget (the
+    # cold first QP may hit max_iter), none certify infeasible/unbounded.
+    assert qp_status.shape == (SQP_ITERS, 3)
+    assert bool(jnp.all(qp_status[1:, 0]))
+    assert not bool(jnp.any(qp_status[:, 1:]))
     x_ref = single_device_reference(ss, lx, ux, ref)
     assert np.isfinite(np.asarray(x_seq)).all()
     # The sharded path warm-starts its QPs across SQP iterations while the
@@ -128,7 +134,7 @@ def test_seq_sqp_2d_mesh_batch_by_horizon():
         uxb[b, 0] = fr
     refb = np.tile(ref[None], (B, 1, 1))
 
-    x2d, its = sqp_solve_seq_parallel(
+    x2d, its, _st2d = sqp_solve_seq_parallel(
         ss,
         jnp.asarray(x0),
         jnp.asarray(refb),
@@ -146,7 +152,7 @@ def test_seq_sqp_2d_mesh_batch_by_horizon():
 
     mesh1d = _mm(("h",), shape=(4,), devices=list(mesh2d.devices[0]))
     for b in range(B):
-        x1d, _ = sqp_solve_seq_parallel(
+        x1d, _, _ = sqp_solve_seq_parallel(
             ss,
             jnp.asarray(x0[b]),
             jnp.asarray(refb[b]),
@@ -174,11 +180,11 @@ def test_seq_sqp_merit_line_search():
     ss, lx, ux, ref = problem()
     x0 = np.zeros((H, cartpole.FRAME), np.float32)
     common = dict(sqp_iters=SQP_ITERS, admm=ADMM, mesh=mesh, axis="h")
-    x_fixed, _ = sqp_solve_seq_parallel(
+    x_fixed, _, _ = sqp_solve_seq_parallel(
         ss, jnp.asarray(x0), jnp.asarray(ref), jnp.asarray(lx),
         jnp.asarray(ux), alpha=ALPHA, **common,
     )
-    x_ls, _ = sqp_solve_seq_parallel(
+    x_ls, _, _ = sqp_solve_seq_parallel(
         ss, jnp.asarray(x0), jnp.asarray(ref), jnp.asarray(lx),
         jnp.asarray(ux), alpha=ALPHA, line_search="merit", **common,
     )
