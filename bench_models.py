@@ -53,6 +53,38 @@ def bench_model(name, build_fn, frames, refs, batch, ticks, warmup=2):
     jax.block_until_ready(trajs)
     per_tick = (time.perf_counter() - t0) / ticks
     finite = bool(np.isfinite(np.asarray(trajs)).all())
+
+    # Deployment-shaped step latency at small batch, two views:
+    # * step_ms — pipelined ticks (state-dependent chain, one sync at the
+    #   end): pure device compute per MPC step, what an ON-HOST controller
+    #   pays; compare against BASELINE.md's 5 ms budget.  Best of 3 windows
+    #   (the session TPU sits behind a relay with multi-minute slow phases).
+    # * p50/p99_sync_ms — blocking every tick: upper bound that includes
+    #   this session's ~25 ms relay round trip; on-host deployments don't
+    #   pay it, but it bounds worst-case remote serving.
+    lat_batch = min(batch, int(os.environ.get("OCP_BENCH_LAT_BATCH", 8)))
+    lat_ticks = int(os.environ.get("OCP_BENCH_LAT_TICKS", 30))
+    lstate = batched.init_state(lat_batch)
+    lf, lr = frames[:lat_batch], refs[:lat_batch]
+    for _ in range(max(warmup, 3)):
+        ltr, _, lstate = batched.solve(lf, lr, lstate)
+    jax.block_until_ready(ltr)
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(lat_ticks):
+            ltr, _, lstate = batched.solve(lf, lr, lstate)
+        jax.block_until_ready(ltr)
+        windows.append(time.perf_counter() - t0)
+    step_ms = min(windows) / lat_ticks * 1e3
+    lats = []
+    for _ in range(lat_ticks):
+        t0 = time.perf_counter()
+        ltr, _, lstate = batched.solve(lf, lr, lstate)
+        jax.block_until_ready(ltr)
+        lats.append(time.perf_counter() - t0)
+    lats = np.asarray(lats) * 1e3
+
     print(
         json.dumps(
             {
@@ -60,6 +92,10 @@ def bench_model(name, build_fn, frames, refs, batch, ticks, warmup=2):
                 "batch": batch,
                 "tick_ms": round(per_tick * 1e3, 3),
                 "solves_per_s": round(batch / per_tick, 1),
+                "latency_batch": lat_batch,
+                "step_ms": round(step_ms, 3),
+                "p50_sync_ms": round(float(np.percentile(lats, 50)), 3),
+                "p99_sync_ms": round(float(np.percentile(lats, 99)), 3),
                 "shared_system": bool(ocp.solver.shared_system),
                 "finite": finite,
                 "compile_s": round(compile_s, 1),

@@ -56,28 +56,44 @@ __all__ = ["admm_solve_banded_batch", "pick_batch_tile"]
 def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
     """Batch tile whose chunk-kernel working set fits in VMEM, or None.
 
-    Counts input blocks + vectors + while-carry copies + scratch, with a
-    ~10 MB budget out of the ~16 MB/core.  Mosaic requires the batch block
-    dim to be a multiple of 128 (the lane width) or equal to the full
-    array dim, so the choice is: the whole batch as one program if it
-    fits, else the largest fitting multiple of 128, else None — in which
-    case the driver falls back to the vmapped XLA loop (the kernel's
-    working set simply does not fit on-chip for that problem size).
+    Models what Mosaic actually allocates for one grid program (measured
+    against a real-TPU compile-time VMEM OOM at N=50, w=5, r=3, r2=1,
+    B=256, which the previous flat-count estimate accepted):
+
+    * the f32 VMEM tile is (8, 128) — the SECOND-MINOR dim of every
+      batch-last block pads up to a multiple of 8 sublanes (w=5 -> 8 is
+      1.6x, r=3 -> 8 is 2.7x on those arrays);
+    * every grid-varying input AND output block is double-buffered for the
+      pipeline (a 2x on everything when the grid has more than one tile).
+
+    Mosaic requires the batch block dim to be a multiple of 128 (the lane
+    width) or equal to the full array dim, so the choice is: the whole
+    batch as one program if it fits, else the largest fitting multiple of
+    128, else None — in which case the driver falls back to the vmapped
+    XLA loop (the working set simply does not fit on-chip for that
+    problem size).
     """
     nd = N - 1
-    floats = (
-        4 * N * w * w  # dinv, Hb, (g ~ N w^2), + slack
-        + 2 * nd * r * w
-        + N * r2 * w
-        + 18 * N * w
-        + 12 * nd * r
-        + 12 * N * r2
+    p8 = lambda s: max(-(-s // 8) * 8, 8)
+    wp, rp, r2p = p8(w), p8(r), p8(r2)
+    ins = (
+        3 * N * w * wp  # dinv, Hb + g (nd~N) factor/operator blocks
+        + 2 * nd * r * wp  # J0, J1
+        + N * r2 * wp  # Jc
+        + N * wp  # q
+        + 3 * (N * wp + nd * rp + N * r2p)  # l/u/rho rows per section
+        + 2 * N * wp + nd * rp + N * r2p + 8  # scale rows ds ex ed ec ci
+        + 7 * 8  # it0/done0 + per-scenario scalars
+        + 3 * N * wp + 2 * nd * rp + 2 * N * r2p  # carry-in x y z sections
     )
-    budget = 10 * 1024 * 1024 // 4
-    if max(B, 1) * floats <= budget:
+    outs = 3 * N * wp + 2 * nd * rp + 2 * N * r2p + 6 * 8
+    scratch = N * wp
+    bytes_per_lane = 4 * (2 * (ins + outs) + scratch)  # 2x: double buffer
+    budget = 12 * 1024 * 1024
+    if max(B, 1) * bytes_per_lane <= budget:
         return max(B, 1)
     for tile in (512, 384, 256, 128):
-        if tile <= B and tile * floats <= budget:
+        if tile <= B and tile * bytes_per_lane <= budget:
             return tile
     return None
 

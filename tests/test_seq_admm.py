@@ -145,6 +145,10 @@ def test_seq_parallel_adaptive_rho_matches_banded():
     # A deliberately bad rho start must still converge via adaptation well
     # before max_iter.
     assert int(iters) < st.max_iter
+    # Same adaptation rule at the same round cadence: the sharded solve
+    # terminates at exactly the banded path's iteration count (VERDICT
+    # round 1, next-round item 6).
+    assert int(iters) == int(ref.iters)
 
 def test_seq_parallel_infeasibility_certificate():
     """Primal-infeasible banded QP (stage constraint pinned outside the box
