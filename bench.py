@@ -96,8 +96,9 @@ def main():
     # that per tick).  The shared relay/TPU has multi-minute slow phases
     # (observed 2x spread on the identical program), so measure three
     # windows and report the best — the number attached hardware sustains.
+    n_windows = int(os.environ.get("OCP_BENCH_WINDOWS", 5))
     windows = []
-    for widx in range(3):
+    for widx in range(n_windows):
         t0 = time.perf_counter()
         for _ in range(ticks):
             trajs, objs, state = batched.solve(frames, refs, state)

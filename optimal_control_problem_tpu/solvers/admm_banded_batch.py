@@ -62,7 +62,10 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
 
     * the f32 VMEM tile is (8, 128) — the SECOND-MINOR dim of every
       batch-last block pads up to a multiple of 8 sublanes (w=5 -> 8 is
-      1.6x, r=3 -> 8 is 2.7x on those arrays);
+      1.6x, r=3 -> 8 is 2.7x on those arrays), and the MINOR (batch/lane)
+      dim pads up to a multiple of 128 lanes (a small batch of 8 scenarios
+      still allocates 128 lanes — measured 76 MB for quadrotor h100 B=8,
+      which the lane-blind estimate accepted);
     * every grid-varying input AND output block is double-buffered for the
       pipeline (a 2x on everything when the grid has more than one tile).
 
@@ -90,7 +93,8 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
     scratch = N * wp
     bytes_per_lane = 4 * (2 * (ins + outs) + scratch)  # 2x: double buffer
     budget = 12 * 1024 * 1024
-    if max(B, 1) * bytes_per_lane <= budget:
+    lanes = lambda t: -(-t // 128) * 128  # minor dim pads to 128 lanes
+    if lanes(max(B, 1)) * bytes_per_lane <= budget:
         return max(B, 1)
     for tile in (512, 384, 256, 128):
         if tile <= B and tile * bytes_per_lane <= budget:
