@@ -248,12 +248,11 @@ def sqp_solve_seq_parallel(
         )
     )
     x, its, status = solve(put(x0), put(ref), put(lx), put(ux))
-    # status: per-SQP-iteration (converged, prim_inf, dual_inf) bool triples,
-    # shape (sqp_iters, 3) — the sharded analog of SQPResult.qp_* flags.
+    # status: per-SQP-iteration (converged, prim_inf, dual_inf) bool triples
+    # — the sharded analog of SQPResult.qp_* flags.  Shape (sqp_iters, 3) in
+    # the 1-D case; (B, sqp_iters, 3) with batch_axis so each scenario's QP
+    # certificates are visible (the horizon-axis copies are replicated; drop
+    # one of the D copies stacked along dim 1).
     if batch_axis is None:
         return x, its.reshape(D, -1)[0], status.reshape(D, sqp_iters, 3)[0]
-    return (
-        x,
-        its[0].reshape(D, -1)[0],
-        status[0].reshape(D, sqp_iters, 3)[0],
-    )
+    return (x, its[:, 0], status[:, 0])

@@ -77,7 +77,12 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
     problem size).
     """
     nd = N - 1
-    p8 = lambda s: max(-(-s // 8) * 8, 8)
+    # Zero-size sections are not allocated at all (p8(0) = 0); nonzero
+    # sections pad up to the 8-sublane tile.  Note admm_solve_banded_batch
+    # pads absent sections to 1 inert row (_pad_sections) and passes
+    # max(r, 1) / max(r2, 1) here, so on that path the minimum-8 charge
+    # still (correctly) applies.
+    p8 = lambda s: -(-s // 8) * 8
     wp, rp, r2p = p8(w), p8(r), p8(r2)
     ins = (
         3 * N * w * wp  # dinv, Hb + g (nd~N) factor/operator blocks

@@ -71,7 +71,9 @@ class BatchQPSolution(NamedTuple):
     x: jnp.ndarray  # (B, n)
     y: jnp.ndarray  # (B, m)
     z: jnp.ndarray  # (B, m)
-    iters: jnp.ndarray  # scalar int32: iterations until ALL converged
+    # scalar int32: iterations until every scenario converged or was
+    # certified infeasible/unbounded (whichever stops the shared loop).
+    iters: jnp.ndarray
     converged: jnp.ndarray  # (B,) bool
     r_prim: jnp.ndarray  # (B,)
     r_dual: jnp.ndarray  # (B,)
@@ -79,9 +81,12 @@ class BatchQPSolution(NamedTuple):
     # semantics as :class:`.admm.QPSolution`: ``prim_inf[b]`` marks scenario
     # b's QP certified primal infeasible, ``dual_inf[b]`` unbounded.  The
     # whole-batch loop exits early when every scenario is converged OR
-    # certified.  False-filled when ``settings.check_infeasibility`` is off.
-    prim_inf: jnp.ndarray = False  # noqa: RUF009 - NamedTuple default
-    dual_inf: jnp.ndarray = False
+    # certified.  Always (B,) bool arrays — every construction site fills
+    # them explicitly (false-filled when ``settings.check_infeasibility``
+    # is off); no defaults, so a new site that forgot them fails loudly
+    # instead of producing scalar fields that break per-scenario indexing.
+    prim_inf: jnp.ndarray
+    dual_inf: jnp.ndarray
 
 
 class SharedQPFactor(NamedTuple):
@@ -347,6 +352,11 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
                 # Aggregate only over still-active scenarios: a certified
                 # infeasible/unbounded scenario's residuals diverge and would
                 # otherwise poison the batch-shared rho for everyone else.
+                # Converged scenarios are excluded too, deliberately — their
+                # residuals sit at the tolerance floor and would drag the
+                # aggregate toward 1, stalling adaptation for the scenarios
+                # still working (this changes rho trajectories for mixed
+                # feasible batches vs a mean-over-all rule, by design).
                 act = jnp.logical_not(
                     jnp.logical_or(conv, jnp.logical_or(pinf, dinf))
                 ).astype(dtype)
