@@ -33,7 +33,51 @@ import jax.numpy as jnp
 
 from ..solvers.admm import f32_matmuls
 
-__all__ = ["BTDFactor", "btd_factor", "btd_solve", "btd_matvec", "dense_to_blocks"]
+__all__ = [
+    "BTDFactor",
+    "btd_factor",
+    "btd_solve",
+    "btd_matvec",
+    "dense_to_blocks",
+    "small_spd_inv",
+]
+
+
+def small_spd_inv(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of small SPD blocks ``(..., w, w)`` without pivoting.
+
+    ``jnp.linalg.inv`` lowers to LU with partial pivoting, which XLA:TPU
+    executes as a sequential row loop with dynamic slices — measured
+    ~7 ms for (5120, 5, 5) f32 on v5e, ~100x the arithmetic cost, and the
+    single dominant term of the whole banded prepare stage.  The pivot
+    blocks here are SPD by construction (Ruiz-equilibrated
+    ``P + sigma I + A^T rho A`` Schur complements), so diagonal pivoting
+    is numerically sound and Gauss-Jordan can be fully unrolled over the
+    (static, tiny) block width: ``w`` steps of rank-1 broadcast updates,
+    vectorized over every leading batch dim — pure VPU work, no gathers,
+    no sequential loop.
+    """
+    w = a.shape[-1]
+    if w == 0:
+        return a
+    if w == 1:
+        return 1.0 / a
+    if w > 32:  # not "small": generic LU wins asymptotically
+        return jnp.linalg.inv(a)
+    eye = jnp.eye(w, dtype=a.dtype)
+    m = a
+    inv = jnp.broadcast_to(eye, a.shape)
+    for k in range(w):
+        piv = m[..., k : k + 1, k : k + 1]  # (..., 1, 1)
+        mrow = m[..., k : k + 1, :] / piv  # (..., 1, w)
+        irow = inv[..., k : k + 1, :] / piv
+        col = m[..., :, k : k + 1] * (1.0 - eye[:, k : k + 1])  # row k zeroed
+        m = m - col * mrow  # rank-1 broadcast update
+        inv = inv - col * irow
+        rowmask = eye[k][:, None]  # (w, 1): select row k
+        m = m * (1.0 - rowmask) + rowmask * mrow
+        inv = inv * (1.0 - rowmask) + rowmask * irow
+    return inv
 
 
 class BTDFactor(NamedTuple):
@@ -62,10 +106,10 @@ def btd_factor(diag: jnp.ndarray, lower: jnp.ndarray) -> BTDFactor:
         d_k, a_km1 = inputs  # a_km1 = lower[k-1]
         g_k = a_km1 @ prev_dinv
         schur = d_k - g_k @ a_km1.T
-        dinv_k = jnp.linalg.inv(schur)
+        dinv_k = small_spd_inv(schur)
         return dinv_k, (dinv_k, g_k)
 
-    d0inv = jnp.linalg.inv(diag[0])
+    d0inv = small_spd_inv(diag[0])
     _, (dinv_rest, g) = jax.lax.scan(step, d0inv, (diag[1:], lower))
     dinv = jnp.concatenate([d0inv[None], dinv_rest], axis=0)
     return BTDFactor(dinv=dinv, g=g, lower=lower)
@@ -192,7 +236,7 @@ def cr_factor(diag: jnp.ndarray, lower: jnp.ndarray) -> CRFactor:
     levels = []
     while N > 1:
         odd_d = diag[1::2]  # (N/2, w, w) pivots to eliminate
-        dinv_odd = jnp.linalg.inv(odd_d)
+        dinv_odd = small_spd_inv(odd_d)
         even_d = diag[0::2]
         # For even survivor j (global 2i): lower odd neighbor 2i-1, upper
         # odd neighbor 2i+1.
@@ -221,7 +265,7 @@ def cr_factor(diag: jnp.ndarray, lower: jnp.ndarray) -> CRFactor:
         diag, L = new_diag, new_L
         N //= 2
 
-    root_dinv = jnp.linalg.inv(diag[0])
+    root_dinv = small_spd_inv(diag[0])
     return CRFactor(levels=tuple(levels), root_dinv=root_dinv, n_orig=n_orig)
 
 
