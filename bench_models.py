@@ -296,8 +296,8 @@ def main():
                     alpha=0.3,
                     step_num=5,
                     formulation="reduced",
-                    # Tuned fixed rho: 357 solves/s vs 182 with adaptive
-                    # rho on (see docs/TUNING.md section 4b).
+                    # Tuned fixed rho beats adaptive here (docs/TUNING.md
+                    # section 4b); 1,503 solves/s in round 3.
                     ADMM_settings={
                         "method": "banded",
                         "max_iter": 250,
