@@ -330,7 +330,17 @@ def banded_admm_chunk(
     def spec(a):
         blk = a.shape[:-1] + (batch_tile,)
         nl = a.ndim - 1
-        return pl.BlockSpec(blk, lambda i, nl=nl: (0,) * nl + (i,))
+        # Single-buffer every block: the default revolving double buffer
+        # exists to overlap the next grid step's DMA-in with compute, but
+        # one chunk program computes for ~milliseconds while its whole
+        # working set streams in microseconds — the overlap is worthless
+        # and the 2x VMEM cost is what kept unicycle h50 off this kernel
+        # (see solvers/admm_banded_batch.pick_batch_tile).
+        return pl.BlockSpec(
+            blk,
+            lambda i, nl=nl: (0,) * nl + (i,),
+            pipeline_mode=pl.Buffered(buffer_count=1),
+        )
 
     inputs = [
         it0[None, :].astype(jnp.int32),
@@ -376,6 +386,13 @@ def banded_admm_chunk(
         out_specs=tuple(spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
                         for s in out_shapes),
         scratch_shapes=[pltpu.VMEM(xT.shape[:-1] + (batch_tile,), dtype)],
+        # v5e has ~128 MB of physical VMEM (probed empirically: 126 MB
+        # scratch compiles AND runs); the 16 MB default is only XLA's
+        # scoped-vmem guard for fused ops.  Raising it here lets one grid
+        # program own quadrotor-h100-sized operator sets on-chip.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*inputs)
     (x, yx, yd, yc, zx, zd, zc, done, it_inc, rp, rd, mp, md) = outs

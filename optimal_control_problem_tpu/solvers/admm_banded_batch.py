@@ -56,18 +56,26 @@ __all__ = ["admm_solve_banded_batch", "pick_batch_tile"]
 def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
     """Batch tile whose chunk-kernel working set fits in VMEM, or None.
 
-    Models what Mosaic actually allocates for one grid program (measured
-    against a real-TPU compile-time VMEM OOM at N=50, w=5, r=3, r2=1,
-    B=256, which the previous flat-count estimate accepted):
+    Models what Mosaic actually allocates for one grid program:
 
     * the f32 VMEM tile is (8, 128) — the SECOND-MINOR dim of every
       batch-last block pads up to a multiple of 8 sublanes (w=5 -> 8 is
       1.6x, r=3 -> 8 is 2.7x on those arrays), and the MINOR (batch/lane)
       dim pads up to a multiple of 128 lanes (a small batch of 8 scenarios
-      still allocates 128 lanes — measured 76 MB for quadrotor h100 B=8,
-      which the lane-blind estimate accepted);
-    * every grid-varying input AND output block is double-buffered for the
-      pipeline (a 2x on everything when the grid has more than one tile).
+      still allocates 128 lanes);
+    * every block is SINGLE-buffered (``pl.Buffered(buffer_count=1)`` in
+      the kernel's specs): a chunk program computes for milliseconds while
+      its working set streams in microseconds, so the default revolving
+      double buffer would pay 2x VMEM for overlap that cannot matter;
+    * on top of the blocks, the compiled loop body keeps live VALUES —
+      the while-carry x/y/z sections plus ``one_iter``/residual
+      temporaries — measured at ~5x the carry-section rows (unicycle
+      h50 tile 128: 17.24 MB total vs 10.4 MB of blocks);
+    * the budget is the chip, not the default scoped-vmem guard: v5e has
+      ~128 MB of physical VMEM (probed: a 126 MB scratch compiles and
+      runs), and the kernel raises ``vmem_limit_bytes`` accordingly.
+      96 MB here leaves margin for Mosaic internals and the measurement
+      error of the value model.
 
     Mosaic requires the batch block dim to be a multiple of 128 (the lane
     width) or equal to the full array dim, so the choice is: the whole
@@ -84,6 +92,7 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
     # still (correctly) applies.
     p8 = lambda s: -(-s // 8) * 8
     wp, rp, r2p = p8(w), p8(r), p8(r2)
+    carry = 3 * N * wp + 2 * nd * rp + 2 * N * r2p  # x y z sections
     ins = (
         3 * N * w * wp  # dinv, Hb + g (nd~N) factor/operator blocks
         + 2 * nd * r * wp  # J0, J1
@@ -92,12 +101,13 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
         + 3 * (N * wp + nd * rp + N * r2p)  # l/u/rho rows per section
         + 2 * N * wp + nd * rp + N * r2p + 8  # scale rows ds ex ed ec ci
         + 7 * 8  # it0/done0 + per-scenario scalars
-        + 3 * N * wp + 2 * nd * rp + 2 * N * r2p  # carry-in x y z sections
+        + carry  # carry-in x y z sections
     )
-    outs = 3 * N * wp + 2 * nd * rp + 2 * N * r2p + 6 * 8
+    outs = carry + 6 * 8
     scratch = N * wp
-    bytes_per_lane = 4 * (2 * (ins + outs) + scratch)  # 2x: double buffer
-    budget = 12 * 1024 * 1024
+    values = 5 * (carry + N * wp)  # live loop values + temporaries
+    bytes_per_lane = 4 * (ins + outs + scratch + values)
+    budget = 96 * 1024 * 1024
     lanes = lambda t: -(-t // 128) * 128  # minor dim pads to 128 lanes
     if lanes(max(B, 1)) * bytes_per_lane <= budget:
         return max(B, 1)
