@@ -110,10 +110,14 @@ class ADMMSettings:
     # right for small batches / long horizons where the scan's sequential
     # latency dominates).
     banded_solver: str = "thomas"
-    # Iteration-loop backend: "xla" (lax.while_loop) or "pallas" (the fused
-    # in-VMEM device loop, ops/admm_kernel.py; condensed method only, no
-    # adaptive rho).  "pallas" keeps the per-scenario operator resident in
-    # VMEM across all iterations — the win for vmapped nonlinear models.
+    # Iteration-loop backend: "xla" (lax.while_loop) or "pallas" (fused
+    # in-VMEM device loops).  On the per-scenario dense path this is
+    # ops/admm_kernel.py (condensed only, no adaptive rho; the win for
+    # vmapped nonlinear models).  On the shared-factorization batched path
+    # it is ops/shared_kernel.py (condensed only, full adaptive rho +
+    # certificates via chunked re-entry) — measured at parity with the XLA
+    # loop at flagship sizes (the XLA loop already hides the panel HBM
+    # traffic), kept as a validated alternative; see docs/PERFORMANCE.md.
     backend: str = "xla"
     # Matmul precision for solver-internal linear algebra.  "highest"
     # (6-pass) is the safe default on TPU (see f32_matmuls); "high"

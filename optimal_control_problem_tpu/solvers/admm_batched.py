@@ -189,9 +189,229 @@ def admm_iterate_prepared(
     re-factorization when adaptive rho triggers); cheap to embed inside the
     SQP ``scan``.  Runs until every scenario meets the OSQP termination
     criteria or ``max_iter``.
+
+    With ``settings.backend == "pallas"`` (condensed method only) the
+    iteration loop runs as the fused in-VMEM chunk kernel
+    (:mod:`..ops.shared_kernel`): the whole panel batch plus the shared
+    operator stay resident on-chip across every iteration, removing the
+    per-iteration HBM round trips that bound the XLA loop.  Semantics match
+    the XLA path, except that infeasibility certificates are evaluated once
+    per rho-constant chunk instead of once per check block (exactly like
+    the banded batch path).
     """
     with jax.default_matmul_precision(settings.precision):
+        if (
+            settings.backend == "pallas"
+            and settings.method == "condensed"
+            and fac.Ab.shape[0] > 0
+        ):
+            return _admm_iterate_fused(fac, q, l, u, settings, x0, y0)
         return _admm_iterate_impl(fac, q, l, u, settings, x0, y0)
+
+
+def _shared_certificates(dx_b, dy_b, Pb, Ab, D, E, cinv, q_orig, l, u, st):
+    """Per-scenario OSQP infeasibility certificates on iterate deltas.
+
+    ``dx_b``/``dy_b`` are SCALED deltas (B, n)/(B, m); all tests run on
+    unscaled quantities like OSQP's ``auxil.c`` (and admm.py's
+    single-problem version).  Matvecs reuse the scaled operators:
+    ``A = E^-1 Ab D^-1``, ``P = c^-1 D^-1 Pb D^-1``.
+    """
+    dtype = dx_b.dtype
+    Dinv = 1.0 / D
+    Einv = 1.0 / E
+    tiny = jnp.asarray(1e-12, dtype)
+    dx_u = dx_b * D[None, :]
+    dy_u = dy_b * E[None, :] * cinv
+    # -- primal infeasibility: delta_y with A^T dy ~ 0 and support
+    #    function u'(dy)_+ + l'(dy)_- < 0 (per scenario).
+    ndy = jnp.max(jnp.abs(dy_u), axis=1)
+    dy_p = jnp.maximum(dy_u, 0.0)
+    dy_m = jnp.minimum(dy_u, 0.0)
+    # Masked products so inf * 0 cannot produce NaN; an infinite bound
+    # with matching delta sign yields +inf, correctly blocking the
+    # certificate.
+    t_u = jnp.where(dy_p > 0, u * dy_p, 0.0)
+    t_l = jnp.where(dy_m < 0, l * dy_m, 0.0)
+    support = jnp.sum(t_u + t_l, axis=1)
+    # A^T dy_u = c^-1 D^-1 (Ab^T dy_scaled): feed the scaled delta.
+    n_Atdy = jnp.max(jnp.abs((dy_b @ Ab) * Dinv[None, :]) * cinv, axis=1)
+    pinf = jnp.logical_and(
+        ndy > tiny,
+        jnp.logical_and(
+            support < -st.eps_prim_inf * ndy,
+            n_Atdy < st.eps_prim_inf * ndy,
+        ),
+    )
+    # -- dual infeasibility: delta_x with P dx ~ 0, q'dx < 0 and A dx
+    #    consistent with a feasible recession direction.
+    ndx = jnp.max(jnp.abs(dx_u), axis=1)
+    thr = st.eps_dual_inf * ndx
+    cond_q = jnp.sum(q_orig * dx_u, axis=1) < -thr
+    Pdx = cinv * (dx_b @ Pb) * Dinv[None, :]
+    cond_P = jnp.max(jnp.abs(Pdx), axis=1) < thr
+    Adx = (dx_b @ Ab.T) * Einv[None, :]
+    cond_A = jnp.logical_and(
+        jnp.all(jnp.where(u < jnp.inf, Adx < thr[:, None], True), axis=1),
+        jnp.all(jnp.where(l > -jnp.inf, Adx > -thr[:, None], True), axis=1),
+    )
+    dinf = jnp.logical_and(
+        ndx > tiny,
+        jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
+    )
+    return pinf, dinf
+
+
+def _admm_iterate_fused(
+    fac, q, l, u, settings, x0, y0, batch_tile=None, interpret=None
+):
+    """Chunked driver around :func:`..ops.shared_kernel.shared_admm_chunk`.
+
+    Division of labor per solve (mirrors ``admm_solve_banded_batch``):
+
+    * iterate (Pallas, batch-leading): up to ``adaptive_rho_interval``
+      iterations per kernel entry, OSQP termination every ``check_every``,
+      batch-shared (nobody freezes — the XLA path's semantics);
+    * between chunks (XLA): infeasibility certificates on chunk deltas and
+      OSQP adaptive rho with a shared re-factorization.
+    """
+    from ..ops.shared_kernel import pick_shared_tile, shared_admm_chunk
+
+    dtype = fac.Pb.dtype
+    st = settings
+    B, n = q.shape
+    m = fac.Ab.shape[0]
+    Pb, Ab, D, E, c, rho_v0, OP0 = fac
+    sigma = jnp.asarray(st.sigma, dtype)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if batch_tile is None:
+        batch_tile = pick_shared_tile(B, n, m)
+    if batch_tile is None:
+        # Working set does not fit in VMEM at any tile: XLA loop.
+        return _admm_iterate_impl(fac, q, l, u, st, x0, y0)
+
+    l = jnp.minimum(l.astype(dtype), u.astype(dtype))
+    u = u.astype(dtype)
+    q_orig = q.astype(dtype)
+    qb = c * q_orig * D[None, :]
+    lb = l * E[None, :]
+    ub = u * E[None, :]
+    x = jnp.zeros((B, n), dtype) if x0 is None else x0.astype(dtype) / D[None, :]
+    y = jnp.zeros((B, m), dtype) if y0 is None else c * y0.astype(dtype) / E[None, :]
+    z = jnp.clip(x @ Ab.T, lb, ub)
+
+    pad_b = (-B) % batch_tile
+    valid = jnp.arange(B + pad_b) < B
+    if pad_b:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad_b,) + a.shape[1:])], axis=0
+        )
+        qb, lb, ub, x, y, z = map(rep, (qb, lb, ub, x, y, z))
+        q_orig = rep(q_orig)
+        l, u = rep(l), rep(u)
+    Bp = B + pad_b
+
+    if st.adaptive_rho:
+        interval = max(st.adaptive_rho_interval, st.check_every)
+        interval = (
+            (interval + st.check_every - 1) // st.check_every
+        ) * st.check_every
+    else:
+        interval = st.max_iter
+
+    Dinv = 1.0 / D
+    Einv = 1.0 / E
+    cinv = 1.0 / c
+    false_b = jnp.zeros((Bp,), bool)
+    inf_b = jnp.full((Bp,), jnp.inf, dtype)
+    state = (
+        jnp.asarray(0, jnp.int32),
+        x, z, y, rho_v0, OP0,
+        false_b,  # conv
+        false_b,  # pinf
+        false_b,  # dinf
+        inf_b,  # rp
+        inf_b,  # rd
+    )
+
+    def cond_fn(s):
+        it, _, _, _, _, _, conv, pinf, dinf = s[:9]
+        done = conv | pinf | dinf
+        return jnp.logical_and(it < st.max_iter, ~jnp.all(done))
+
+    def body_fn(s):
+        it, x, z, y, rho, OP, conv, pinf, dinf, rp, rd = s
+        done_in = conv | pinf | dinf
+        (x2, z2, y2, conv_k, it_inc, rp_k, rd_k, rpr_k, rdr_k) = (
+            shared_admm_chunk(
+                done_in, OP, Ab, Pb, rho, lb, ub, qb, Dinv, Einv, cinv,
+                x, z, y,
+                interval=interval,
+                check_every=st.check_every,
+                sigma=float(st.sigma),
+                alpha=float(st.alpha),
+                eps_abs=float(st.eps_abs),
+                eps_rel=float(st.eps_rel),
+                batch_tile=batch_tile,
+                interpret=interpret,
+            )
+        )
+        ran = it_inc > 0
+        conv = jnp.where(ran, conv_k, conv)
+        rp = jnp.where(ran, rp_k, rp)
+        rd = jnp.where(ran, rd_k, rd)
+        if st.check_infeasibility:
+            pinf_k, dinf_k = _shared_certificates(
+                x2 - x, y2 - y, Pb, Ab, D, E, cinv, q_orig, l, u, st
+            )
+            pinf = pinf | (pinf_k & ran & ~conv)
+            dinf = dinf | (dinf_k & ran & ~conv)
+        x, z, y = x2, z2, y2
+        it = it + jnp.max(it_inc)
+        if st.adaptive_rho:
+            # Batch-shared OSQP rho adaptation from the kernel's relative
+            # residuals, aggregated over still-active real scenarios only
+            # (padded replicas and converged/certified scenarios excluded —
+            # see _admm_iterate_impl for the rationale).
+            act = (~(conv | pinf | dinf) & valid & ran).astype(dtype)
+            cnt = jnp.maximum(jnp.sum(act), 1.0)
+            scale = jnp.sqrt(
+                (jnp.sum(rpr_k * act) / cnt)
+                / jnp.maximum(jnp.sum(rdr_k * act) / cnt, 1e-12)
+            )
+            scale = jnp.clip(scale, 1e-3, 1e3)
+            trigger = jnp.logical_or(
+                scale > st.adaptive_rho_tolerance,
+                scale < 1.0 / st.adaptive_rho_tolerance,
+            ) & jnp.any(act > 0)
+
+            def adapt(_):
+                new_rho = jnp.clip(rho * scale, _RHO_MIN, _RHO_MAX)
+                return new_rho, _factor_shared(
+                    Pb, Ab, new_rho, sigma, st.method
+                )
+
+            rho, OP = jax.lax.cond(
+                trigger, adapt, lambda _: (rho, OP), None
+            )
+        return (it, x, z, y, rho, OP, conv, pinf, dinf, rp, rd)
+
+    (it, x, z, y, _, _, conv, pinf, dinf, rp, rd) = jax.lax.while_loop(
+        cond_fn, body_fn, state
+    )
+    return BatchQPSolution(
+        x=(x * D[None, :])[:B],
+        y=(y * E[None, :] * cinv)[:B],
+        z=(z * Einv[None, :])[:B],
+        iters=it,
+        converged=conv[:B],
+        r_prim=rp[:B],
+        r_dual=rd[:B],
+        prim_inf=pinf[:B],
+        dual_inf=dinf[:B],
+    )
 
 
 def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
@@ -260,57 +480,6 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
         rd_rel = r_dual / jnp.maximum(max_dual, 1e-12)
         return r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel
 
-    def infeasibility_certificates(dx_b, dy_b):
-        """Per-scenario OSQP certificates on one check block's iterate deltas.
-
-        ``dx_b``/``dy_b`` are SCALED deltas (B, n)/(B, m); all tests run on
-        unscaled quantities like OSQP's ``auxil.c`` (and admm.py's
-        single-problem version).  Matvecs reuse the scaled operators:
-        ``A = E^-1 Ab D^-1``, ``P = c^-1 D^-1 Pb D^-1``.
-        """
-        tiny = jnp.asarray(1e-12, dtype)
-        dx_u = dx_b * D[None, :]
-        dy_u = dy_b * E[None, :] * cinv
-        # -- primal infeasibility: delta_y with A^T dy ~ 0 and support
-        #    function u'(dy)_+ + l'(dy)_- < 0 (per scenario).
-        ndy = jnp.max(jnp.abs(dy_u), axis=1)
-        dy_p = jnp.maximum(dy_u, 0.0)
-        dy_m = jnp.minimum(dy_u, 0.0)
-        # Masked products so inf * 0 cannot produce NaN; an infinite bound
-        # with matching delta sign yields +inf, correctly blocking the
-        # certificate.
-        t_u = jnp.where(dy_p > 0, u * dy_p, 0.0)
-        t_l = jnp.where(dy_m < 0, l * dy_m, 0.0)
-        support = jnp.sum(t_u + t_l, axis=1)
-        # A^T dy_u = c^-1 D^-1 (Ab^T dy_scaled): feed the scaled delta.
-        n_Atdy = jnp.max(
-            jnp.abs((dy_b @ Ab) * Dinv[None, :]) * cinv, axis=1
-        )
-        pinf = jnp.logical_and(
-            ndy > tiny,
-            jnp.logical_and(
-                support < -st.eps_prim_inf * ndy,
-                n_Atdy < st.eps_prim_inf * ndy,
-            ),
-        )
-        # -- dual infeasibility: delta_x with P dx ~ 0, q'dx < 0 and A dx
-        #    consistent with a feasible recession direction.
-        ndx = jnp.max(jnp.abs(dx_u), axis=1)
-        thr = st.eps_dual_inf * ndx
-        cond_q = jnp.sum(q_orig * dx_u, axis=1) < -thr
-        Pdx = cinv * (dx_b @ Pb) * Dinv[None, :]
-        cond_P = jnp.max(jnp.abs(Pdx), axis=1) < thr
-        Adx = (dx_b @ Ab.T) * Einv[None, :]
-        cond_A = jnp.logical_and(
-            jnp.all(jnp.where(u < jnp.inf, Adx < thr[:, None], True), axis=1),
-            jnp.all(jnp.where(l > -jnp.inf, Adx > -thr[:, None], True), axis=1),
-        )
-        dinf = jnp.logical_and(
-            ndx > tiny,
-            jnp.logical_and(cond_q, jnp.logical_and(cond_P, cond_A)),
-        )
-        return pinf, dinf
-
     def cond_fn(state):
         it, x, z, y, rho, OP, all_done, conv, pinf, dinf, rp, rd = state
         return jnp.logical_and(it < st.max_iter, jnp.logical_not(all_done))
@@ -325,8 +494,8 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
         r_prim, r_dual, eps_pri, eps_dua, rp_rel, rd_rel = residuals(x, z, y)
         conv = jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
         if st.check_infeasibility:
-            pinf_new, dinf_new = infeasibility_certificates(
-                x - x_old, y - y_old
+            pinf_new, dinf_new = _shared_certificates(
+                x - x_old, y - y_old, Pb, Ab, D, E, cinv, q_orig, l, u, st
             )
             # Sticky: once a scenario is certified it stays certified (the
             # batch keeps iterating, so later check blocks could otherwise
