@@ -199,6 +199,11 @@ def admm_device_loop(
         ),
         in_specs=[vspec() for _ in range(14)],
         out_specs=(vspec(), vspec(), vspec(), vspec()),
+        # v5e has ~128 MB of physical VMEM (probed; see ops/banded_kernel);
+        # the 16 MB default is only XLA's scoped-vmem guard.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         OP,

@@ -51,8 +51,6 @@ def _kernel(
     # inputs (VMEM, one batch tile of size Bt in the last dim)
     it0_ref,  # (1, Bt) int32 per-scenario iteration counts at entry
     done0_ref,  # (1, Bt) int32 1 = frozen (converged / certified) at entry
-    dinv_ref,  # (N, w, w, Bt) block-Thomas pivot inverses
-    g_ref,  # (N-1, w, w, Bt) block-Thomas multipliers
     hb_ref,  # (N, w, w, Bt) scaled Hessian blocks (P)
     j0_ref,  # (Nd, r, w, Bt) scaled dynamics Jacobian wrt frame k
     j1_ref,  # (Nd, r, w, Bt) scaled dynamics Jacobian wrt frame k+1
@@ -95,6 +93,8 @@ def _kernel(
     md_o_ref,  # (1, Bt) max_dual
     # scratch
     s_ref,  # (N, w, Bt) block-sweep workspace
+    dinv_ref,  # (N, w, w, Bt) M diag blocks, overwritten by pivot inverses
+    g_ref,  # (N-1, w, w, Bt) M subdiag blocks, overwritten by multipliers
     *,
     interval: int,
     check_every: int,
@@ -108,8 +108,6 @@ def _kernel(
     w = q_ref.shape[1]
 
     it0 = it0_ref[:]
-    dinv = dinv_ref[:]
-    g = g_ref[:]
     hb = hb_ref[:]
     j0 = j0_ref[:]
     j1 = j1_ref[:]
@@ -121,6 +119,107 @@ def _kernel(
     ds = ds_ref[:]
     ex, ed, ec = ex_ref[:], ed_ref[:], ec_ref[:]
     ci = ci_ref[:]  # (1, Bt)
+
+    # ---- M-build + block-Thomas factorization, in-kernel ---------------
+    # M = P + sigma I + A^T R A assembled from the stage blocks and
+    # factored here at chunk entry.  As XLA ops this stage is a
+    # launch-bound sequential scan over stages (measured at over half the
+    # cart-pole tick, docs/PERFORMANCE.md round-3 bisection); in-kernel it
+    # is a few hundred chained (w, w, Bt) VPU ops.  Re-entry after a
+    # driver rho adaptation refactors automatically.  Every contraction is
+    # broadcast-multiply-reduce in the SAME accumulation order as the XLA
+    # reference (`_build_M_blocks` / `btd_factor` r-loops), preserving the
+    # bit-match against `vmap(admm_solve_banded)`.
+    eye_w = jnp.expand_dims(jnp.eye(w, dtype=hb.dtype), -1)  # (w, w, 1)
+    eye_w4 = jnp.expand_dims(eye_w, 0)  # (1, w, w, 1)
+
+    def outer_r(rho_s, ja, jb):
+        """sum_r rho[.,r] * ja[.,r,a] * jb[.,r,b] -> (., w, w, Bt).
+
+        Static slices + expand_dims + concat only: Mosaic has no >2D
+        gather, and jnp's mixed slice/newaxis indexing lowers through
+        one.  Per-element the accumulation is a fixed chain of adds over
+        r in ascending order — bitwise identical to the XLA reference's
+        `_build_M_blocks` loop regardless of layout (a reduction op's
+        association order would differ between the two).
+        """
+        rows = []
+        for a in range(w):
+            acc = None
+            for i in range(ja.shape[1]):
+                rho_i = jnp.expand_dims(rho_s[:, i : i + 1, :], 2)
+                t = (rho_i * ja[:, i : i + 1, a : a + 1, :]) * jb[
+                    :, i : i + 1, :, :
+                ]
+                acc = t if acc is None else acc + t
+            rows.append(acc)  # (., 1, w, Bt)
+        return jnp.concatenate(rows, axis=1)
+
+    def outer_r_t(rho_s, ja, jb):
+        """Transpose of :func:`outer_r`: out[., b, a, Bt] with each
+        element the bitwise-identical product pair (commutative mul), so
+        ``outer_r_t(...)[b, a] == outer_r(...)[a, b]`` exactly — the
+        factorization needs low^T without a (leading, sublane) transpose,
+        which Mosaic would have to relayout."""
+        rows = []
+        for b in range(w):
+            acc = None
+            for i in range(ja.shape[1]):
+                rho_i = jnp.expand_dims(rho_s[:, i : i + 1, :], 2)
+                t = jb[:, i : i + 1, b : b + 1, :] * (
+                    rho_i * ja[:, i : i + 1, :, :]
+                )
+                acc = t if acc is None else acc + t
+            rows.append(acc)
+        return jnp.concatenate(rows, axis=1)
+
+    rx4 = jnp.expand_dims(rx, 2)  # (N, w, 1, Bt)
+    diag = hb + sigma * eye_w4 + eye_w4 * rx4
+    d_lo = outer_r(rd_, j0, j0)
+    d_hi = outer_r(rd_, j1, j1)
+    low = outer_r(rd_, j1, j0)
+    lowT = outer_r_t(rd_, j1, j0)  # low[k]^T, elementwise-bitwise equal
+    zblk = jnp.zeros_like(diag[:1])
+    diag = diag + jnp.concatenate([d_lo, zblk], axis=0)
+    diag = diag + jnp.concatenate([zblk, d_hi], axis=0)
+    diag = diag + outer_r(rc, jc, jc)
+
+    def spd_inv_bl(m):
+        """Unrolled Gauss-Jordan for one (w, w, Bt) SPD block — the
+        batch-last twin of ops/block_tridiag.small_spd_inv (identical
+        elementwise op order, so the two bit-match)."""
+        eye2 = eye_w  # (w, w, 1)
+        inv = jnp.broadcast_to(eye2, m.shape).astype(m.dtype)
+        for k in range(w):
+            piv = m[k : k + 1, k : k + 1, :]  # (1, 1, Bt)
+            mrow = m[k : k + 1, :, :] / piv  # (1, w, Bt)
+            irow = inv[k : k + 1, :, :] / piv
+            col = m[:, k : k + 1, :] * (1.0 - eye2[:, k : k + 1, :])
+            m = m - col * mrow
+            inv = inv - col * irow
+            rowmask = eye_w[:, k : k + 1, :]  # (w, 1, 1): selects row k
+            m = m * (1.0 - rowmask) + rowmask * mrow
+            inv = inv * (1.0 - rowmask) + rowmask * irow
+        return inv
+
+    def mm(a, b):
+        """(w, w, Bt) block product sum_j a[i,j] b[j,l] — sequential adds
+        (same association order as the XLA reference, see outer_r)."""
+        acc = None
+        for j in range(w):
+            t = a[:, j : j + 1, :] * b[j : j + 1, :, :]
+            acc = t if acc is None else acc + t
+        return acc
+
+    dinv_ref[0] = spd_inv_bl(diag[0])
+    for k in range(1, N):
+        g_k = mm(low[k - 1], dinv_ref[k - 1])
+        # g_k @ low[k-1]^T via mm against the elementwise-transposed lowT.
+        schur = diag[k] - mm(g_k, lowT[k - 1])
+        dinv_ref[k] = spd_inv_bl(schur)
+        g_ref[k - 1] = g_k
+    dinv = dinv_ref[:]
+    g = g_ref[:]
 
     def mat_A(x):
         """A @ x from stage blocks; x (N, w, Bt) -> section results."""
@@ -287,8 +386,6 @@ def _kernel(
 def banded_admm_chunk(
     it0,  # (B,) int32
     done0,  # (B,) int32 (converged / certified / frozen at entry)
-    dinvT,  # (N, w, w, B)
-    gT,  # (N-1, w, w, B)
     HbT,  # (N, w, w, B)
     J0T,  # (Nd, r, w, B)
     J1T,  # (Nd, r, w, B)
@@ -315,6 +412,11 @@ def banded_admm_chunk(
     interpret: bool = False,
 ):
     """Run one rho-constant banded-ADMM chunk; all arrays batch-last.
+
+    The kernel assembles ``M = P + sigma I + A^T R A`` from the stage
+    blocks and block-Thomas-factors it at entry (scratch-resident), so the
+    driver passes operators + rho only — no factorization in XLA, and a
+    rho adaptation refactors simply by re-entering.
 
     Returns ``(x, yx, yd, yc, zx, zd, zc, done, it_inc, rp, rd, mp, md)``
     with the same layouts (scalars per scenario as (B,) rows).  The grid
@@ -345,7 +447,7 @@ def banded_admm_chunk(
     inputs = [
         it0[None, :].astype(jnp.int32),
         done0[None, :].astype(jnp.int32),
-        dinvT, gT, HbT, J0T, J1T, JcT, qT,
+        HbT, J0T, J1T, JcT, qT,
         boundsT["lx"], boundsT["ux"], boundsT["rx"],
         boundsT["ld"], boundsT["ud"], boundsT["rd"],
         boundsT["lc"], boundsT["uc"], boundsT["rc"],
@@ -385,7 +487,13 @@ def banded_admm_chunk(
         in_specs=[spec(a) for a in inputs],
         out_specs=tuple(spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
                         for s in out_shapes),
-        scratch_shapes=[pltpu.VMEM(xT.shape[:-1] + (batch_tile,), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM(xT.shape[:-1] + (batch_tile,), dtype),  # sweep ws
+            # M diag / subdiag blocks, overwritten in place by the
+            # block-Thomas factors (dinv / g) during the entry prologue.
+            pltpu.VMEM(HbT.shape[:-1] + (batch_tile,), dtype),
+            pltpu.VMEM((HbT.shape[0] - 1,) + HbT.shape[1:-1] + (batch_tile,), dtype),
+        ],
         # v5e has ~128 MB of physical VMEM (probed empirically: 126 MB
         # scratch compiles AND runs); the 16 MB default is only XLA's
         # scoped-vmem guard for fused ops.  Raising it here lets one grid

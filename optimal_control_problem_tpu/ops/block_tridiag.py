@@ -101,11 +101,38 @@ def btd_factor(diag: jnp.ndarray, lower: jnp.ndarray) -> BTDFactor:
     """
     N, w, _ = diag.shape
 
+    # Small blocks: a fixed chain of slice-based adds — the exact
+    # association order of the fused chunk kernel's in-kernel
+    # factorization (ops/banded_kernel.py prologue), minimizing the fp
+    # drift between the two paths' factors (cross-program fusion still
+    # differs in FMA formation, so agreement is to roundoff, not bitwise).
+    # Large blocks (w > 8, e.g. quadrotor w=16, never on the fused kernel
+    # path): plain dots — the add chain measured ~1.5x slower there.
+    if w <= 8:
+
+        def _mm(a, b):
+            acc = None
+            for j in range(w):
+                t = a[:, j : j + 1] * b[j : j + 1, :]
+                acc = t if acc is None else acc + t
+            return acc
+
+        def _mm_t(a, b):
+            acc = None
+            for j in range(w):
+                t = a[:, j : j + 1] * b[:, j : j + 1].reshape(1, w)
+                acc = t if acc is None else acc + t
+            return acc
+
+    else:
+        _mm = lambda a, b: a @ b
+        _mm_t = lambda a, b: a @ b.T
+
     def step(carry, inputs):
         prev_dinv = carry
         d_k, a_km1 = inputs  # a_km1 = lower[k-1]
-        g_k = a_km1 @ prev_dinv
-        schur = d_k - g_k @ a_km1.T
+        g_k = _mm(a_km1, prev_dinv)
+        schur = d_k - _mm_t(g_k, a_km1)
         dinv_k = small_spd_inv(schur)
         return dinv_k, (dinv_k, g_k)
 

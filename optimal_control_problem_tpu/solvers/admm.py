@@ -402,9 +402,13 @@ def _admm_solve_impl(P, q, A, l, u, settings, x0, y0):
     if st.backend == "pallas":
         if st.method != "condensed":
             raise ValueError("backend='pallas' requires method='condensed'")
-        # The kernel pins OP, A, A^T and P in VMEM (~16 MB/core budget).
+        # The kernel pins OP, A, A^T and P in VMEM.  Budget = the chip's
+        # real VMEM (~128 MB on v5e, probed — see ops/banded_kernel) over
+        # the pipeline's double buffering (under vmap the grid is the
+        # scenario batch and each program's operators are grid-varying),
+        # minus margin for live loop values.
         vmem_bytes = 4 * (2 * n * n + 2 * m * n + 4 * (n + m))
-        if vmem_bytes > 12 * 1024 * 1024:
+        if vmem_bytes > 40 * 1024 * 1024:
             raise ValueError(
                 f"backend='pallas' would need ~{vmem_bytes / 1e6:.1f} MB of "
                 "VMEM for this problem size (n={}, m={}); use backend='xla' "

@@ -221,31 +221,47 @@ def _apply_P(qp: BandedQP, x):
 
 
 def _build_M_blocks(qp: BandedQP, rho_v, sigma):
-    """Diagonal/subdiagonal blocks of M = P + sigma I + A^T R A."""
+    """Diagonal/subdiagonal blocks of M = P + sigma I + A^T R A.
+
+    Contractions over the (tiny, static) residual dims are explicit
+    Python loops of broadcast-multiply-adds — the exact accumulation
+    order of the fused chunk kernel's in-kernel M assembly
+    (ops/banded_kernel.py prologue), preserving the bit-match between
+    the per-scenario XLA path and the batch-native kernel path.
+    """
     N, w = qp.Hb.shape[0], qp.Hb.shape[1]
     r = qp.J0.shape[1]
     r2 = qp.Jc.shape[1]
     n = N * w
     dtype = qp.Hb.dtype
     rho_x = rho_v[:n].reshape(N, w)
-    diag = (
-        qp.Hb
-        + sigma * jnp.eye(w, dtype=dtype)[None]
-        + jax.vmap(jnp.diag)(rho_x)
-    )
+    eye_w = jnp.eye(w, dtype=dtype)
+    diag = qp.Hb + sigma * eye_w[None] + eye_w[None] * rho_x[:, :, None]
+
+    def outer_r(rho_s, ja, jb):
+        """sum_r rho[k,r] * ja[k,r,a] * jb[k,r,b] -> (k, w, w).
+
+        Sequential slice-based accumulation — the exact association order
+        of the fused chunk kernel's in-kernel M assembly (a reduction op's
+        order differs between layouts; a fixed add chain does not)."""
+        acc = None
+        for i in range(ja.shape[1]):
+            t = (
+                rho_s[:, i : i + 1, None, None] * ja[:, i : i + 1, :, None]
+            ) * jb[:, i : i + 1, None, :]
+            acc = t if acc is None else acc + t
+        return acc.reshape(ja.shape[0], w, w)
+
     if r:
         rho_d = rho_v[n : n + (N - 1) * r].reshape(N - 1, r)
-        RJ0 = rho_d[:, :, None] * qp.J0
-        diag = diag.at[:-1].add(jnp.einsum("krw,krv->kwv", RJ0, qp.J0))
-        diag = diag.at[1:].add(
-            jnp.einsum("kr,krw,krv->kwv", rho_d, qp.J1, qp.J1)
-        )
-        lower = jnp.einsum("krw,krv->kwv", rho_d[:, :, None] * qp.J1, qp.J0)
+        diag = diag.at[:-1].add(outer_r(rho_d, qp.J0, qp.J0))
+        diag = diag.at[1:].add(outer_r(rho_d, qp.J1, qp.J1))
+        lower = outer_r(rho_d, qp.J1, qp.J0)
     else:
         lower = jnp.zeros((N - 1, w, w), dtype)
     if r2:
         rho_c = rho_v[n + (N - 1) * r :].reshape(N, r2)
-        diag = diag + jnp.einsum("kr,krw,krv->kwv", rho_c, qp.Jc, qp.Jc)
+        diag = diag + outer_r(rho_c, qp.Jc, qp.Jc)
     return diag, lower
 
 

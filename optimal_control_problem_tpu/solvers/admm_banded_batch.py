@@ -9,14 +9,17 @@ batch-LAST layout so the scenario batch fills the TPU's 128-wide lanes.
 
 Division of labor per solve:
 
-* prepare (XLA, batch-leading, once): Ruiz equilibration, per-row rho,
-  block-Thomas factorization — all ``jax.vmap`` of the per-scenario pieces
-  from :mod:`.admm_banded` / :mod:`..ops.block_tridiag`;
-* iterate (Pallas, batch-last): up to ``adaptive_rho_interval`` iterations
-  per kernel entry with per-scenario OSQP termination checks;
+* prepare (XLA, batch-leading, once): Ruiz equilibration and per-row rho
+  — ``jax.vmap`` of the per-scenario pieces from :mod:`.admm_banded`;
+* iterate (Pallas, batch-last): M assembly + block-Thomas factorization
+  at chunk entry (in-kernel — as XLA ops the factorization is a
+  launch-bound sequential scan measured at over half the cart-pole tick),
+  then up to ``adaptive_rho_interval`` iterations per kernel entry with
+  per-scenario OSQP termination checks;
 * between chunks (XLA): infeasibility certificates on chunk deltas and
-  OSQP adaptive rho with refactorization — the same adapt-every-interval
-  semantics as the dense ``backend="pallas"`` path in :mod:`.admm`;
+  OSQP adaptive rho — the refactorization happens implicitly at the next
+  kernel entry; same adapt-every-interval semantics as the dense
+  ``backend="pallas"`` path in :mod:`.admm`;
 * finish (XLA): optional active-set polish (``banded_polish``), unscaling.
 
 Semantics match ``jax.vmap(admm_solve_banded)`` with ``banded_solver=
@@ -43,7 +46,6 @@ from .admm import ADMMSettings, QPSolution, _RHO_MAX, _RHO_MIN, f32_matmuls
 from .admm_banded import (
     BandedQP,
     _apply_A,
-    _build_M_blocks,
     _rho_vec,
     banded_certificates,
     banded_polish,
@@ -94,7 +96,7 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
     wp, rp, r2p = p8(w), p8(r), p8(r2)
     carry = 3 * N * wp + 2 * nd * rp + 2 * N * r2p  # x y z sections
     ins = (
-        3 * N * w * wp  # dinv, Hb + g (nd~N) factor/operator blocks
+        N * w * wp  # Hb operator blocks
         + 2 * nd * r * wp  # J0, J1
         + N * r2 * wp  # Jc
         + N * wp  # q
@@ -104,8 +106,12 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
         + carry  # carry-in x y z sections
     )
     outs = carry + 6 * 8
-    scratch = N * wp
-    values = 5 * (carry + N * wp)  # live loop values + temporaries
+    # sweep workspace + the M diag/subdiag scratch the in-kernel
+    # factorization overwrites with dinv/g.
+    scratch = N * wp + 2 * N * w * wp
+    # Live loop values + temporaries: ~5x the carry rows (measured,
+    # unicycle h50) plus the M-assembly's transient diag/low block values.
+    values = 5 * (carry + N * wp) + 2 * N * w * wp
     bytes_per_lane = 4 * (ins + outs + scratch + values)
     budget = 96 * 1024 * 1024
     lanes = lambda t: -(-t // 128) * 128  # minor dim pads to 128 lanes
@@ -280,15 +286,11 @@ def admm_solve_banded_batch(
     cinv = 1.0 / c  # (Bp,)
     Dinv, Einv = 1.0 / D, 1.0 / E
     rho0 = _rho_vec(scaled.l, scaled.u, jnp.asarray(st.rho, dtype), dtype)
-
-    def factors_T(rho_flat):
-        diag, lower = jax.vmap(_build_M_blocks, in_axes=(0, 0, None))(
-            scaled, rho_flat, jnp.asarray(sigma, dtype)
-        )
-        fac = jax.vmap(btd_factor)(diag, lower)
-        return _t(fac.dinv), _t(fac.g)
-
-    dinvT, gT = factors_T(rho0)
+    # No factorization here: the chunk kernel assembles M and runs the
+    # block-Thomas factorization in-kernel at every entry (a few hundred
+    # chained VPU ops), so a rho adaptation refactors by re-entering.  As
+    # XLA this stage was a launch-bound sequential scan measured at over
+    # half the cart-pole tick (docs/PERFORMANCE.md round-3 bisection).
 
     # Batch-last constants for the kernel.
     HbT = _t(scaled.Hb)
@@ -342,8 +344,6 @@ def admm_solve_banded_batch(
         y_s,
         z_s,  # z (scaled), carried across chunks
         rho0,
-        dinvT,
-        gT,
         done0,  # done (converged; padded rows pre-frozen)
         false_b,  # prim_inf
         false_b,  # dual_inf
@@ -352,14 +352,14 @@ def admm_solve_banded_batch(
     )
 
     def cond_fn(s):
-        it_b, _, _, _, _, _, _, done, pinf, dinf, _, _ = s
+        it_b, _, _, _, _, done, pinf, dinf, _, _ = s
         active = jnp.logical_and(
             ~(done | pinf | dinf), it_b < st.max_iter
         )
         return jnp.any(active)
 
     def body_fn(s):
-        (it_b, x, y, z, rho, dT, gT_, done, pinf, dinf, rp, rd) = s
+        (it_b, x, y, z, rho, done, pinf, dinf, rp, rd) = s
         stop = done | pinf | dinf
         yx, yd, yc = sectionsT(y)
         zx, zd, zc = sectionsT(z)
@@ -372,7 +372,7 @@ def admm_solve_banded_batch(
         (xT2, yx2, yd2, yc2, zx2, zd2, zc2, kdone, it_inc,
          rp_k, rd_k, mp_k, md_k) = banded_admm_chunk(
             it_b, stop.astype(jnp.int32),
-            dT, gT_, HbT, J0T, J1T, JcT, qT, bounds, scaleT,
+            HbT, J0T, J1T, JcT, qT, bounds, scaleT,
             _t(x.reshape(Bp, N, w)), yx, yd, yc, zx, zd, zc,
             interval=interval,
             check_every=st.check_every,
@@ -410,23 +410,17 @@ def admm_solve_banded_batch(
                 )
                 & ran & ~done & ~pinf & ~dinf
             )
-            rho_new = jnp.where(
+            # The refactorization itself happens inside the kernel at the
+            # next chunk entry; updating rho here is all the adaptation is.
+            rho = jnp.where(
                 trigger[:, None],
                 jnp.clip(rho * scale[:, None], _RHO_MIN, _RHO_MAX),
                 rho,
             )
-
-            def adapt(_):
-                dT2, gT2 = factors_T(rho_new)
-                return rho_new, dT2, gT2
-
-            rho, dT, gT_ = jax.lax.cond(
-                jnp.any(trigger), adapt, lambda _: (rho, dT, gT_), None
-            )
-        return (it_b, x_new, y_new, z_new, rho, dT, gT_,
+        return (it_b, x_new, y_new, z_new, rho,
                 done, pinf, dinf, rp, rd)
 
-    (it_b, x, y, z, rho, dinvT, gT, done, pinf, dinf, rp, rd) = (
+    (it_b, x, y, z, rho, done, pinf, dinf, rp, rd) = (
         jax.lax.while_loop(cond_fn, body_fn, state)
     )
 
