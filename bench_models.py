@@ -204,6 +204,37 @@ def main():
             ticks,
         )
 
+    if "cartpole_banded_large" in which or "cartpole" in which:
+        # Scaling point: the single-buffered kernel fits the whole 1024-
+        # scenario batch in VMEM as one grid program (round 3 VMEM probe).
+        B_l = int(os.environ.get("OCP_BENCH_NL_BATCH_LARGE", 1024))
+        frames = np.zeros((B_l, cartpole.FRAME), np.float32)
+        frames[:, 2] = rng.uniform(-0.5, 0.5, B_l).astype(np.float32)
+        refs = np.full((B_l, 1), np.pi, np.float32)
+        bench_model(
+            "cartpole_h20_banded_B1024",
+            lambda: cartpole.build(
+                cartpole.make_config(
+                    horizon=20,
+                    dt=0.04,
+                    alpha=0.3,
+                    step_num=10,
+                    formulation="reduced",
+                    ADMM_settings={
+                        "method": "banded",
+                        "max_iter": 500,
+                        "adaptive_rho": False,
+                        "rho": 0.05,
+                    },
+                ),
+                stagewise=True,
+            ),
+            frames,
+            refs,
+            B_l,
+            ticks,
+        )
+
     if "cartpole_pallas" in which or "cartpole" in which:
         frames = np.zeros((B_nl, cartpole.FRAME), np.float32)
         frames[:, 2] = rng.uniform(-0.5, 0.5, B_nl).astype(np.float32)

@@ -710,12 +710,13 @@ class SQPOptimizationSolver:
         def solve(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
             x_init = x_init.astype(dtype)
             p = p.astype(dtype)
+            # Iterate-independent: hoisted out of the SQP scan.
+            lower, upper = stack_bounds(p, lbx, ubx, lbg, ubg)
 
             def sqp_iter(carry, _):
                 x, qpx, qpy, stop = carry
                 Hb, J0, J1, Jc = blocks(x, p)
                 grad, cval = vectors(x, p)
-                lower, upper = stack_bounds(p, lbx, ubx, lbg, ubg)
                 qp = BandedQP(
                     Hb=Hb,
                     J0=J0,
@@ -810,12 +811,14 @@ class SQPOptimizationSolver:
         def solve_batch(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
             x_init = x_init.astype(dtype)
             p = p.astype(dtype)
+            # Iterate-independent: hoisted out of the SQP scan (only the
+            # shift by c(x_k) changes per iteration).
+            lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
 
             def sqp_iter(carry, _):
                 x, qpx, qpy, stop = carry
                 Hb, J0, J1, Jc = blocks_b(x, p)
                 grad, cval = vectors_b(x, p)
-                lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
                 qp = BandedQP(
                     Hb=Hb, J0=J0, J1=J1, Jc=Jc,
                     q=grad, l=lower - cval, u=upper - cval,
