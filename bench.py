@@ -242,6 +242,10 @@ def main():
                     "max_iter": 500,
                     "adaptive_rho": False,
                     "rho": 0.05,
+                    # OSQP's check_termination knob: warm-started QPs pass
+                    # the FIRST residual check, so finer blocks stop
+                    # earlier at the same tolerance.
+                    "check_every": 5,
                 },
             ),
             stagewise=True,

@@ -194,6 +194,10 @@ def main():
                         "max_iter": 500,
                         "adaptive_rho": False,
                         "rho": 0.05,
+                        # OSQP's check_termination knob: warm-started QPs
+                        # pass the FIRST residual check, so finer blocks
+                        # stop earlier at the same tolerance (+11-34%).
+                        "check_every": 5,
                     },
                 ),
                 stagewise=True,
@@ -225,6 +229,10 @@ def main():
                         "max_iter": 500,
                         "adaptive_rho": False,
                         "rho": 0.05,
+                        # OSQP's check_termination knob: warm-started QPs
+                        # pass the FIRST residual check, so finer blocks
+                        # stop earlier at the same tolerance (+11-34%).
+                        "check_every": 5,
                     },
                 ),
                 stagewise=True,
@@ -298,7 +306,11 @@ def main():
                     alpha=0.3,
                     step_num=10,
                     formulation="reduced",
-                    ADMM_settings={"method": "banded", "max_iter": 500},
+                    ADMM_settings={
+                        "method": "banded",
+                        "max_iter": 500,
+                        "check_every": 5,  # see cartpole_banded note
+                    },
                 ),
                 halfspaces=(((0.0, 1.0), -0.5),),
                 stagewise=True,
