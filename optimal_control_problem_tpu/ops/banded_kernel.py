@@ -95,6 +95,7 @@ def _kernel(
     s_ref,  # (N, w, Bt) block-sweep workspace
     dinv_ref,  # (N, w, w, Bt) M diag blocks, overwritten by pivot inverses
     g_ref,  # (N-1, w, w, Bt) M subdiag blocks, overwritten by multipliers
+    lowt_ref,  # (N-1, w, w, Bt) subdiag transposes (for the Schur products)
     *,
     interval: int,
     check_every: int,
@@ -133,56 +134,65 @@ def _kernel(
     eye_w = jnp.expand_dims(jnp.eye(w, dtype=hb.dtype), -1)  # (w, w, 1)
     eye_w4 = jnp.expand_dims(eye_w, 0)  # (1, w, w, 1)
 
-    def outer_r(rho_s, ja, jb):
-        """sum_r rho[.,r] * ja[.,r,a] * jb[.,r,b] -> (., w, w, Bt).
+    def row_r(rho_s, ja, jb, a):
+        """Row a of sum_r rho[.,r] * ja[.,r,a] * jb[.,r,b] -> (., 1, w, Bt).
 
-        Static slices + expand_dims + concat only: Mosaic has no >2D
-        gather, and jnp's mixed slice/newaxis indexing lowers through
-        one.  Per-element the accumulation is a fixed chain of adds over
-        r in ascending order — bitwise identical to the XLA reference's
+        Static slices + expand_dims only: Mosaic has no >2D gather, and
+        jnp's mixed slice/newaxis indexing lowers through one.  Per
+        element the accumulation is a fixed chain of adds over r in
+        ascending order — bitwise identical to the XLA reference's
         `_build_M_blocks` loop regardless of layout (a reduction op's
         association order would differ between the two).
         """
-        rows = []
-        for a in range(w):
-            acc = None
-            for i in range(ja.shape[1]):
-                rho_i = jnp.expand_dims(rho_s[:, i : i + 1, :], 2)
-                t = (rho_i * ja[:, i : i + 1, a : a + 1, :]) * jb[
-                    :, i : i + 1, :, :
-                ]
-                acc = t if acc is None else acc + t
-            rows.append(acc)  # (., 1, w, Bt)
-        return jnp.concatenate(rows, axis=1)
+        acc = None
+        for i in range(ja.shape[1]):
+            rho_i = jnp.expand_dims(rho_s[:, i : i + 1, :], 2)
+            t = (rho_i * ja[:, i : i + 1, a : a + 1, :]) * jb[
+                :, i : i + 1, :, :
+            ]
+            acc = t if acc is None else acc + t
+        return acc
 
-    def outer_r_t(rho_s, ja, jb):
-        """Transpose of :func:`outer_r`: out[., b, a, Bt] with each
-        element the bitwise-identical product pair (commutative mul), so
-        ``outer_r_t(...)[b, a] == outer_r(...)[a, b]`` exactly — the
-        factorization needs low^T without a (leading, sublane) transpose,
-        which Mosaic would have to relayout."""
-        rows = []
-        for b in range(w):
-            acc = None
-            for i in range(ja.shape[1]):
-                rho_i = jnp.expand_dims(rho_s[:, i : i + 1, :], 2)
-                t = jb[:, i : i + 1, b : b + 1, :] * (
-                    rho_i * ja[:, i : i + 1, :, :]
-                )
-                acc = t if acc is None else acc + t
-            rows.append(acc)
-        return jnp.concatenate(rows, axis=1)
+    def row_r_t(rho_s, ja, jb, b):
+        """Row b of the TRANSPOSED product: out[., b, a] with each element
+        the bitwise-identical product pair (commutative mul), so stacking
+        these rows gives low^T exactly without a (leading, sublane)
+        transpose, which Mosaic would have to relayout."""
+        acc = None
+        for i in range(ja.shape[1]):
+            rho_i = jnp.expand_dims(rho_s[:, i : i + 1, :], 2)
+            t = jb[:, i : i + 1, b : b + 1, :] * (
+                rho_i * ja[:, i : i + 1, :, :]
+            )
+            acc = t if acc is None else acc + t
+        return acc
 
+    # Assemble M row-by-row DIRECTLY into the scratch refs: whole-horizon
+    # intermediates ((N, w, w, Bt) values for d_lo/d_hi/low/lowT and their
+    # transients) are what blew quadrotor h100 past VMEM (Mosaic reported
+    # 116 MB of register spills); with per-row accumulate-into-scratch the
+    # peak transient is ONE (N, 1, w, Bt) row.  Per-element arithmetic
+    # order is unchanged: base, then the J0 term, then J1, then the
+    # stage-constraint term, each row's r-chain ascending.
     rx4 = jnp.expand_dims(rx, 2)  # (N, w, 1, Bt)
-    diag = hb + sigma * eye_w4 + eye_w4 * rx4
-    d_lo = outer_r(rd_, j0, j0)
-    d_hi = outer_r(rd_, j1, j1)
-    low = outer_r(rd_, j1, j0)
-    lowT = outer_r_t(rd_, j1, j0)  # low[k]^T, elementwise-bitwise equal
-    zblk = jnp.zeros_like(diag[:1])
-    diag = diag + jnp.concatenate([d_lo, zblk], axis=0)
-    diag = diag + jnp.concatenate([zblk, d_hi], axis=0)
-    diag = diag + outer_r(rc, jc, jc)
+    dinv_ref[:] = hb + sigma * eye_w4 + eye_w4 * rx4  # diag base
+    nd_ = N - 1
+    for a in range(w):
+        dinv_ref[:nd_, a : a + 1, :, :] = (
+            dinv_ref[:nd_, a : a + 1, :, :] + row_r(rd_, j0, j0, a)
+        )
+    for a in range(w):
+        dinv_ref[1:, a : a + 1, :, :] = (
+            dinv_ref[1:, a : a + 1, :, :] + row_r(rd_, j1, j1, a)
+        )
+    for a in range(w):
+        dinv_ref[:, a : a + 1, :, :] = (
+            dinv_ref[:, a : a + 1, :, :] + row_r(rc, jc, jc, a)
+        )
+    for a in range(w):
+        g_ref[:, a : a + 1, :, :] = row_r(rd_, j1, j0, a)  # low blocks
+    for b in range(w):
+        lowt_ref[:, b : b + 1, :, :] = row_r_t(rd_, j1, j0, b)
 
     def spd_inv_bl(m):
         """Unrolled Gauss-Jordan for one (w, w, Bt) SPD block — the
@@ -211,11 +221,15 @@ def _kernel(
             acc = t if acc is None else acc + t
         return acc
 
-    dinv_ref[0] = spd_inv_bl(diag[0])
+    # Block-Thomas factor in place: dinv_ref holds diag -> pivot inverses,
+    # g_ref holds low -> multipliers (stage k-1's low is read before its
+    # overwrite).
+    dinv_ref[0] = spd_inv_bl(dinv_ref[0])
     for k in range(1, N):
-        g_k = mm(low[k - 1], dinv_ref[k - 1])
+        a_km1 = g_ref[k - 1]
+        g_k = mm(a_km1, dinv_ref[k - 1])
         # g_k @ low[k-1]^T via mm against the elementwise-transposed lowT.
-        schur = diag[k] - mm(g_k, lowT[k - 1])
+        schur = dinv_ref[k] - mm(g_k, lowt_ref[k - 1])
         dinv_ref[k] = spd_inv_bl(schur)
         g_ref[k - 1] = g_k
     dinv = dinv_ref[:]
@@ -490,8 +504,10 @@ def banded_admm_chunk(
         scratch_shapes=[
             pltpu.VMEM(xT.shape[:-1] + (batch_tile,), dtype),  # sweep ws
             # M diag / subdiag blocks, overwritten in place by the
-            # block-Thomas factors (dinv / g) during the entry prologue.
+            # block-Thomas factors (dinv / g) during the entry prologue,
+            # plus the subdiag transposes for the Schur products.
             pltpu.VMEM(HbT.shape[:-1] + (batch_tile,), dtype),
+            pltpu.VMEM((HbT.shape[0] - 1,) + HbT.shape[1:-1] + (batch_tile,), dtype),
             pltpu.VMEM((HbT.shape[0] - 1,) + HbT.shape[1:-1] + (batch_tile,), dtype),
         ],
         # v5e has ~128 MB of physical VMEM (probed empirically: 126 MB

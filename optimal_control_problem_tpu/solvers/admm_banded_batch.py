@@ -106,13 +106,19 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
         + carry  # carry-in x y z sections
     )
     outs = carry + 6 * 8
-    # sweep workspace + the M diag/subdiag scratch the in-kernel
-    # factorization overwrites with dinv/g.
-    scratch = N * wp + 2 * N * w * wp
+    # sweep workspace + the M diag/subdiag/subdiag^T scratch the in-kernel
+    # factorization overwrites with dinv/g (M is assembled row-by-row
+    # directly into these, so its transients are single rows).
+    scratch = N * wp + 3 * N * w * wp
     # Live loop values + temporaries: ~5x the carry rows (measured,
-    # unicycle h50) plus the M-assembly's transient diag/low block values.
+    # unicycle h50) plus the whole-factor value reads (dinv, g).
     values = 5 * (carry + N * wp) + 2 * N * w * wp
     bytes_per_lane = 4 * (ins + outs + scratch + values)
+    # Note the model intentionally undercounts Mosaic's register-spill
+    # behavior on long-horizon wide-block problems: quadrotor h100 (w=16)
+    # measured 234 MB actual vs ~116 MB modeled — both far over budget,
+    # so the reject decision is right for the cases that matter, but do
+    # not trust the model near the boundary for w > 8.
     budget = 96 * 1024 * 1024
     lanes = lambda t: -(-t // 128) * 128  # minor dim pads to 128 lanes
     if lanes(max(B, 1)) * bytes_per_lane <= budget:
