@@ -80,7 +80,7 @@ def measure_windows(solve, state, frames, refs, ticks, n_windows):
 
 def main():
     batch = int(os.environ.get("OCP_BENCH_BATCH", 4096))
-    ticks = int(os.environ.get("OCP_BENCH_TICKS", 20))
+    ticks = int(os.environ.get("OCP_BENCH_TICKS", 100))
     warmup = int(os.environ.get("OCP_BENCH_WARMUP", 3))
 
     import jax
@@ -147,6 +147,10 @@ def main():
     # slow phases (observed 2x spread on the identical program), so measure
     # several windows and report best (the number attached hardware
     # sustains) PLUS every window and the median for variance tracking.
+    # Window length matters: every window pays one ~25 ms relay sync, so
+    # N-tick windows UNDERREPORT throughput by RTT/N per tick (measured:
+    # 10-tick windows cost unicycle h50 banded 2.7 ms/tick of pure sync).
+    # 100 ticks makes the inflation <0.3 ms/tick.
     n_windows = int(os.environ.get("OCP_BENCH_WINDOWS", 5))
     times, state = measure_windows(
         batched.solve, state, frames, refs, ticks, n_windows

@@ -5,6 +5,9 @@ Unlike ``bench.py`` (the driver's single-line headline metric), this prints
 one JSON line per model config so per-model throughput/latency can be
 tracked:
 
+Windows are 100 pipelined ticks: each window pays one ~25 ms relay
+sync, so short windows underreport throughput by RTT/ticks per tick.
+
 * double-integrator h=20 (LTI shared-factorization path)
 * cart-pole swing-up h=20 (nonlinear, per-scenario QPs)
 * unicycle + obstacle half-spaces h=50 (nonlinear)
@@ -63,7 +66,7 @@ def bench_model(name, build_fn, frames, refs, batch, ticks, warmup=2):
     #   this session's ~25 ms relay round trip; on-host deployments don't
     #   pay it, but it bounds worst-case remote serving.
     lat_batch = min(batch, int(os.environ.get("OCP_BENCH_LAT_BATCH", 8)))
-    lat_ticks = int(os.environ.get("OCP_BENCH_LAT_TICKS", 30))
+    lat_ticks = int(os.environ.get("OCP_BENCH_LAT_TICKS", 100))
     lstate = batched.init_state(lat_batch)
     lf, lr = frames[:lat_batch], refs[:lat_batch]
     for _ in range(max(warmup, 3)):
@@ -121,7 +124,7 @@ def main():
         "OCP_BENCH_MODELS", "double_integrator,cartpole,unicycle,quadrotor"
     ).split(",")
     B_nl = int(os.environ.get("OCP_BENCH_NL_BATCH", 256))
-    ticks = int(os.environ.get("OCP_BENCH_TICKS", 10))
+    ticks = int(os.environ.get("OCP_BENCH_TICKS", 100))
     rng = np.random.default_rng(0)
     admm_nl = {"method": "condensed", "max_iter": 500, "adaptive_rho": True}
 
