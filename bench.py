@@ -262,7 +262,11 @@ def main():
         for _ in range(warmup):
             tp, _, st_p = bp.solve(fr_p, refs_p, st_p)
         jax.block_until_ready(tp)
-        p_ticks = int(os.environ.get("OCP_BENCH_PALLAS_TICKS", 10))
+        # Same 100-tick windows as the headline: short windows carry the
+        # ~25 ms relay sync over too little compute and deflate the number
+        # by ~25-35% (round-3 artifact: 10-tick windows measured 28k vs
+        # 39.5k real; VERDICT round-3 item 3).
+        p_ticks = int(os.environ.get("OCP_BENCH_PALLAS_TICKS", ticks))
         p_times, st_p = measure_windows(
             bp.solve, st_p, fr_p, refs_p, p_ticks, 3
         )

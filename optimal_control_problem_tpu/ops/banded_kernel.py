@@ -129,8 +129,11 @@ def _kernel(
     # is a few hundred chained (w, w, Bt) VPU ops.  Re-entry after a
     # driver rho adaptation refactors automatically.  Every contraction is
     # broadcast-multiply-reduce in the SAME accumulation order as the XLA
-    # reference (`_build_M_blocks` / `btd_factor` r-loops), preserving the
-    # bit-match against `vmap(admm_solve_banded)`.
+    # reference (`_build_M_blocks` / `btd_factor` r-loops) to minimize
+    # drift; agreement with `vmap(admm_solve_banded)` is to f32 roundoff,
+    # not bitwise — cross-program fusion/FMA formation differs once the
+    # factorization lives in a different compiled program (see
+    # tests/test_banded_batch.py).
     eye_w = jnp.expand_dims(jnp.eye(w, dtype=hb.dtype), -1)  # (w, w, 1)
     eye_w4 = jnp.expand_dims(eye_w, 0)  # (1, w, w, 1)
 

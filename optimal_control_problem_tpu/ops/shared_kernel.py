@@ -7,8 +7,8 @@ GEMMs — but as an XLA ``while_loop`` each iteration round-trips the
 intermediates), which is exactly the memory-roofline bound measured in
 docs/PERFORMANCE.md ("Roofline": arithmetic intensity ~15-25 flops/byte vs
 the ~80 flops/byte ridge).  This kernel runs the WHOLE rho-constant chunk
-(up to ``interval`` iterations with OSQP termination checks every
-``check_every``) inside one Pallas program with the panels, the operator,
+(up to a driver-supplied dynamic iteration budget, with OSQP termination
+checks every ``check_every``) inside one Pallas program with the panels, the operator,
 and the bounds all resident in VMEM — the per-iteration HBM traffic drops
 to zero and the loop becomes MXU-bound.
 
@@ -97,6 +97,7 @@ def pick_shared_tile(B: int, n: int, m: int):
 
 def _kernel(
     done0_ref,  # (Bt, 1) int32: 1 = scenario enters converged/certified
+    bound_ref,  # (1, 1) int32: iteration budget for this chunk (dynamic)
     op_ref,  # (n, n) condensed operator inverse (shared)
     ab_ref,  # (m, n) scaled constraint matrix (shared)
     pb_ref,  # (n, n) scaled Hessian (shared)
@@ -121,7 +122,6 @@ def _kernel(
     rpr_o_ref,  # (Bt, 1) relative primal residual (for driver adaptive rho)
     rdr_o_ref,  # (Bt, 1)
     *,
-    interval: int,
     check_every: int,
     sigma: float,
     alpha: float,
@@ -135,6 +135,10 @@ def _kernel(
     lb, ub, qb = lb_ref[:], ub_ref[:], qb_ref[:]
     dinv, einv = dinv_ref[:], einv_ref[:]
     ci = ci_ref[0, 0]
+    # Dynamic iteration budget: min(next adaptation boundary, remaining
+    # max_iter) — the driver computes it, so the loop can neither run past
+    # max_iter nor drift off the XLA path's adaptation schedule.
+    bound = bound_ref[0, 0]
     skip = jnp.all(done0_ref[:] == 1)
 
     def one_iter(_, c):
@@ -176,7 +180,7 @@ def _kernel(
     def cond(state):
         k, _, _, _, all_conv = state[:5]
         return jnp.logical_and(
-            k < interval, jnp.logical_not(jnp.logical_or(all_conv, skip))
+            k < bound, jnp.logical_not(jnp.logical_or(all_conv, skip))
         )
 
     def body(state):
@@ -214,12 +218,13 @@ def _kernel(
 @partial(
     jax.jit,
     static_argnames=(
-        "interval", "check_every", "sigma", "alpha",
+        "check_every", "sigma", "alpha",
         "eps_abs", "eps_rel", "batch_tile", "interpret",
     ),
 )
 def shared_admm_chunk(
     done0,  # (B,) bool/int32: scenario enters converged/certified
+    bound,  # scalar int32: iteration budget for this chunk (traced)
     OP,  # (n, n)
     Ab,  # (m, n)
     Pb,  # (n, n)
@@ -234,7 +239,6 @@ def shared_admm_chunk(
     z,  # (B, m)
     y,  # (B, m)
     *,
-    interval: int,
     check_every: int,
     sigma: float,
     alpha: float,
@@ -274,6 +278,7 @@ def shared_admm_chunk(
 
     inputs = [
         done0.astype(jnp.int32)[:, None],
+        jnp.asarray(bound, jnp.int32).reshape(1, 1),
         OP, Ab, Pb, rho[None, :],
         lb, ub, qb,
         Dinv[None, :], Einv[None, :],
@@ -282,6 +287,7 @@ def shared_admm_chunk(
     ]
     in_specs = [
         tile_spec(1),
+        full_spec(jnp.zeros((1, 1), jnp.int32)),
         full_spec(OP), full_spec(Ab), full_spec(Pb), full_spec(rho[None, :]),
         tile_spec(m), tile_spec(m), tile_spec(n),
         full_spec(Dinv[None, :]), full_spec(Einv[None, :]),
@@ -302,7 +308,6 @@ def shared_admm_chunk(
     out_specs = tuple(tile_spec(s.shape[1]) for s in out_shapes)
     kernel = partial(
         _kernel,
-        interval=interval,
         check_every=check_every,
         sigma=sigma,
         alpha=alpha,

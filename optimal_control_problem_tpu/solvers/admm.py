@@ -118,6 +118,9 @@ class ADMMSettings:
     # certificates via chunked re-entry) — measured at parity with the XLA
     # loop at flagship sizes (the XLA loop already hides the panel HBM
     # traffic), kept as a validated alternative; see docs/PERFORMANCE.md.
+    # The Pallas kernels compute at fixed f32-HIGHEST; when combined with
+    # precision != "highest" the shared-factorization path falls back to
+    # the XLA loop so the two backends cannot silently diverge.
     backend: str = "xla"
     # Matmul precision for solver-internal linear algebra.  "highest"
     # (6-pass) is the safe default on TPU (see f32_matmuls); "high"

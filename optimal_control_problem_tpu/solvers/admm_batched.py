@@ -203,6 +203,10 @@ def admm_iterate_prepared(
         if (
             settings.backend == "pallas"
             and settings.method == "condensed"
+            # The fused kernel computes at fixed f32-HIGHEST; honoring a
+            # lower requested precision means taking the XLA loop so the
+            # two backends cannot silently produce different trajectories.
+            and settings.precision == "highest"
             and fac.Ab.shape[0] > 0
         ):
             return _admm_iterate_fused(fac, q, l, u, settings, x0, y0)
@@ -269,9 +273,11 @@ def _admm_iterate_fused(
 
     Division of labor per solve (mirrors ``admm_solve_banded_batch``):
 
-    * iterate (Pallas, batch-leading): up to ``adaptive_rho_interval``
-      iterations per kernel entry, OSQP termination every ``check_every``,
-      batch-shared (nobody freezes — the XLA path's semantics);
+    * iterate (Pallas, batch-leading): iterations up to the next XLA-rule
+      adaptation boundary per kernel entry (a dynamic bound, clamped to
+      the remaining ``max_iter`` budget), OSQP termination every
+      ``check_every``, batch-shared (nobody freezes — the XLA path's
+      semantics);
     * between chunks (XLA): infeasibility certificates on chunk deltas and
       OSQP adaptive rho with a shared re-factorization.
     """
@@ -313,13 +319,25 @@ def _admm_iterate_fused(
         l, u = rep(l), rep(u)
     Bp = B + pad_b
 
+    ce = st.check_every
     if st.adaptive_rho:
-        interval = max(st.adaptive_rho_interval, st.check_every)
-        interval = (
-            (interval + st.check_every - 1) // st.check_every
-        ) * st.check_every
+        ari = st.adaptive_rho_interval
+
+        def chunk_bound(it):
+            # Next adaptation boundary under the XLA rule: the XLA loop
+            # adapts at the end of the first check block (a multiple of
+            # check_every) t > it with t % ari < check_every.  Ending each
+            # kernel chunk exactly there keeps the rho trajectory identical
+            # to the XLA path for ANY (ari, check_every) pair, including
+            # non-divisible ones.
+            k = it // ari + 1
+            t_next = -(-(k * ari) // ce) * ce
+            return jnp.minimum(t_next, st.max_iter) - it
+
     else:
-        interval = st.max_iter
+
+        def chunk_bound(it):
+            return st.max_iter - it
 
     Dinv = 1.0 / D
     Einv = 1.0 / E
@@ -346,9 +364,9 @@ def _admm_iterate_fused(
         done_in = conv | pinf | dinf
         (x2, z2, y2, conv_k, it_inc, rp_k, rd_k, rpr_k, rdr_k) = (
             shared_admm_chunk(
-                done_in, OP, Ab, Pb, rho, lb, ub, qb, Dinv, Einv, cinv,
+                done_in, chunk_bound(it),
+                OP, Ab, Pb, rho, lb, ub, qb, Dinv, Einv, cinv,
                 x, z, y,
-                interval=interval,
                 check_every=st.check_every,
                 sigma=float(st.sigma),
                 alpha=float(st.alpha),
@@ -377,9 +395,13 @@ def _admm_iterate_fused(
             # see _admm_iterate_impl for the rationale).
             act = (~(conv | pinf | dinf) & valid & ran).astype(dtype)
             cnt = jnp.maximum(jnp.sum(act), 1.0)
+            # Mask BEFORE the product: a tile that was all-done at entry
+            # reports inf residuals, and inf * 0.0 = NaN would poison the
+            # sum (silently disabling rho adaptation for every later chunk).
+            rpr_sum = jnp.sum(jnp.where(act > 0, rpr_k, 0.0))
+            rdr_sum = jnp.sum(jnp.where(act > 0, rdr_k, 0.0))
             scale = jnp.sqrt(
-                (jnp.sum(rpr_k * act) / cnt)
-                / jnp.maximum(jnp.sum(rdr_k * act) / cnt, 1e-12)
+                (rpr_sum / cnt) / jnp.maximum(rdr_sum / cnt, 1e-12)
             )
             scale = jnp.clip(scale, 1e-3, 1e3)
             trigger = jnp.logical_or(

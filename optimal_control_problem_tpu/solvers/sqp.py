@@ -915,6 +915,7 @@ class SQPOptimizationSolver:
         vectors_b = jax.vmap(vectors)
         bounds_b = jax.vmap(stack_bounds)
         f_b = jax.vmap(f_fn)
+        early, tol = self._early_exit()
 
         @f32_matmuls
         def solve_batch(x_init, p, lbx, ubx, lbg, ubg, qp_x0, qp_y0):
@@ -931,7 +932,7 @@ class SQPOptimizationSolver:
             )
 
             def sqp_iter(carry, _):
-                x, qpx, qpy = carry
+                x, qpx, qpy, stop = carry
                 grad, cval = vectors_b(x, p)
                 sol = admm_iterate_prepared(
                     fac,
@@ -944,15 +945,35 @@ class SQPOptimizationSolver:
                 )
                 dx = sol.x[:, n_p:] if aug else sol.x
                 x_new = x + alpha * dx
-                fval = f_b(x_new, p)
                 step_norm = jnp.linalg.norm(alpha * dx, axis=1)
+                if early:
+                    # Per-scenario freeze after ||alpha*dx|| < tol — the
+                    # same semantics as the per-scenario and banded-batch
+                    # paths (the scenario still rides the shared batch QP,
+                    # its results are simply discarded).
+                    keep = stop[:, None]
+                    x_new = jnp.where(keep, x, x_new)
+                    qpx_n = jnp.where(keep, qpx, sol.x)
+                    qpy_n = jnp.where(keep, qpy, sol.y)
+                    qp_it = jnp.where(stop, 0, sol.iters)
+                    step_norm = jnp.where(stop, 0.0, step_norm)
+                    took = jnp.logical_not(stop)
+                    stop = jnp.logical_or(stop, step_norm < tol)
+                else:
+                    qpx_n, qpy_n, qp_it = sol.x, sol.y, sol.iters
+                    took = jnp.ones(step_norm.shape, bool)
+                fval = f_b(x_new, p)
                 status = (sol.converged, sol.prim_inf, sol.dual_inf)
-                return (x_new, sol.x, sol.y), (
-                    fval, sol.iters, step_norm, status
+                return (x_new, qpx_n, qpy_n, stop), (
+                    fval, qp_it, step_norm, status, took
                 )
 
-            (x, qpx, qpy), (f_hist, qp_iters, step_norms, status) = jax.lax.scan(
-                sqp_iter, (x_init, qp_x0, qp_y0), None, length=opt.max_iter
+            stop0 = jnp.zeros((x_init.shape[0],), bool)
+            (x, qpx, qpy, _), (f_hist, qp_iters, step_norms, status, took) = (
+                jax.lax.scan(
+                    sqp_iter, (x_init, qp_x0, qp_y0, stop0), None,
+                    length=opt.max_iter,
+                )
             )
             return SQPResult(
                 x=x,
@@ -965,6 +986,7 @@ class SQPOptimizationSolver:
                 qp_converged=status[0],
                 qp_prim_inf=status[1],
                 qp_dual_inf=status[2],
+                steps_taken=jnp.sum(took.astype(jnp.int32), axis=0),
             )
 
         return jax.jit(solve_batch)
