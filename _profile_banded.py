@@ -19,7 +19,9 @@ from optimal_control_problem_tpu.utils.serialization import enable_compilation_c
 
 enable_compilation_cache()
 
-B, ticks = 256, 10
+# 100-tick windows: 10-tick windows carry the ~25 ms relay sync over too
+# little compute and inflate per-tick time by ~2.5 ms (docs/PERFORMANCE.md).
+B, ticks = 256, 100
 rng = np.random.default_rng(0)
 frames = np.zeros((B, cartpole.FRAME), np.float32)
 frames[:, 2] = rng.uniform(-0.5, 0.5, B).astype(np.float32)

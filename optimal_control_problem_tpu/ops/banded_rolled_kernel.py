@@ -1,0 +1,516 @@
+"""Pallas TPU kernel: ROLLED block-tridiagonal ADMM chunk (long horizons).
+
+Same algorithm, layouts, and driver contract as :mod:`.banded_kernel` —
+one rho-constant ADMM chunk, batch-LAST ``(N, w, w, B)`` blocks, per-scenario
+OSQP termination — but with the horizon loops ROLLED:
+
+* the block-Thomas factorization and the per-iteration forward/backward
+  sweeps are ``lax.fori_loop``s over stages with ``pl.ds`` dynamic ref
+  slices, instead of Python-unrolled chains over ``range(N)``;
+* operator arrays are never bound as whole kernel VALUES — every use reads
+  the ref at the use site, so nothing horizon-sized stays live across the
+  sequential sweeps.
+
+Why a second kernel exists: the unrolled kernel's code for quadrotor h100
+(w=16, N=100) measured **234 MB** of VMEM — only ~75 MB of it real data,
+the rest Mosaic register spills from 100 stages x fully-unrolled w=16
+sweeps with whole-horizon values live throughout (docs/PERFORMANCE.md,
+round-3 "The 16 MB VMEM budget"; VERDICT round-3 weak #1).  Rolling the
+stage loops collapses the program to one instance of each block op and
+shrinks the live set to a couple of ``(w, w, B)`` blocks, so the working
+set is the DATA again and h100 fits on-chip.  The unrolled kernel stays
+the fast path for small horizons (cart-pole h20, unicycle h50) where full
+unrolling lets Mosaic software-pipeline across stages; the driver
+(``solvers/admm_banded_batch.py``) picks per problem size.
+
+Reference analog being replaced: one-at-a-time OSQP-CUDA re-setup per QP
+(``sqp_solver/CuCaQP.cpp:271-288``), which never sees the stage structure
+at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["banded_admm_chunk_rolled", "pick_rolled_tile"]
+
+
+def pick_rolled_tile(B: int, N: int, w: int, r: int, r2: int):
+    """Batch tile whose ROLLED-kernel working set fits in VMEM, or None.
+
+    Unlike :func:`..solvers.admm_banded_batch.pick_batch_tile` (which must
+    model the unrolled kernel's register-spill behavior at ~5x the carry
+    rows), the rolled kernel's VMEM use is dominated by the REF data:
+    inputs + outputs + scratch, plus transients bounded by the largest
+    whole-array elementwise product (one operator-sized array for
+    ``mat_P``/``mat_A``) and the while-carry x/y/z values (~2 copies).
+    """
+    p8 = lambda s: -(-s // 8) * 8
+    wp, rp, r2p = p8(w), p8(r), p8(r2)
+    nd = N - 1
+    carry = 3 * N * wp + 2 * nd * rp + 2 * N * r2p  # x y z sections
+    blocks = N * w * wp  # one (N, w, w, .) operator array
+    ins = (
+        blocks  # Hb
+        + 2 * nd * r * wp  # J0 J1
+        + N * r2 * wp  # Jc
+        + N * wp  # q
+        + 3 * (N * wp + nd * rp + N * r2p)  # l/u/rho rows
+        + 2 * N * wp + nd * rp + N * r2p + 8  # ds ex ed ec ci
+        + 2 * 8  # it0 done0
+        + carry
+    )
+    outs = carry + 6 * 8
+    scratch = N * wp + 2 * blocks  # sweep ws + dinv + g (lowT recomputed)
+    # Live values: 2x carry (old+new across the while body) and one
+    # operator-sized elementwise transient (mat_P / assembly row chains);
+    # the rolled loops keep everything else to single-stage blocks.
+    values = 2 * carry + blocks
+    bytes_per_lane = 4 * (ins + outs + scratch + values)
+    budget = 108 * 1024 * 1024
+    lanes = lambda t: -(-t // 128) * 128
+    if lanes(max(B, 1)) * bytes_per_lane <= budget:
+        return max(B, 1)
+    for tile in (512, 384, 256, 128):
+        if tile <= B and tile * bytes_per_lane <= budget:
+            return tile
+    return None
+
+
+def _kernel(
+    it0_ref,  # (1, Bt) int32
+    done0_ref,  # (1, Bt) int32
+    hb_ref,  # (N, w, w, Bt)
+    j0_ref,  # (Nd, r, w, Bt)
+    j1_ref,  # (Nd, r, w, Bt)
+    jc_ref,  # (N, r2, w, Bt)
+    q_ref,  # (N, w, Bt)
+    lx_ref, ux_ref, rx_ref,  # (N, w, Bt)
+    ld_ref, ud_ref, rd_ref,  # (Nd, r, Bt)
+    lc_ref, uc_ref, rc_ref,  # (N, r2, Bt)
+    ds_ref,  # (N, w, Bt)
+    ex_ref,  # (N, w, Bt)
+    ed_ref,  # (Nd, r, Bt)
+    ec_ref,  # (N, r2, Bt)
+    ci_ref,  # (1, Bt)
+    x0_ref, yx0_ref, yd0_ref, yc0_ref, zx0_ref, zd0_ref, zc0_ref,
+    # outputs
+    xo_ref, yxo_ref, ydo_ref, yco_ref, zxo_ref, zdo_ref, zco_ref,
+    done_o_ref, it_o_ref, rp_o_ref, rd_o_ref, mp_o_ref, md_o_ref,
+    # scratch (no lowT array: the subdiag transposes are recomputed
+    # per stage inside the factor loop, saving an (N, w, w, B) buffer)
+    s_ref,  # (N, w, Bt) sweep workspace
+    dinv_ref,  # (N, w, w, Bt) M diag -> pivot inverses
+    g_ref,  # (N-1, w, w, Bt) M subdiag -> multipliers
+    *,
+    interval: int,
+    check_every: int,
+    max_iter: int,
+    sigma: float,
+    alpha: float,
+    eps_abs: float,
+    eps_rel: float,
+):
+    N = q_ref.shape[0]
+    w = q_ref.shape[1]
+    nd_ = N - 1
+    dtype = q_ref.dtype
+
+    it0 = it0_ref[:]
+    ci = ci_ref[:]  # (1, Bt)
+
+    eye_w = jnp.expand_dims(jnp.eye(w, dtype=dtype), -1)  # (w, w, 1)
+    eye_w4 = jnp.expand_dims(eye_w, 0)  # (1, w, w, 1)
+
+    # ---- M assembly (row-by-row into scratch) --------------------------
+    # Same row-chain accumulation order as banded_kernel._kernel, but
+    # every operand is a per-(row, term) REF SLICE read at the use site —
+    # the whole-array value reads the unrolled kernel makes (9-13 MB live
+    # across the prologue) are exactly the Mosaic stack pressure this
+    # variant exists to avoid.
+    def row_r(rho_ref_, ja_ref, jb_ref, a, lo=0, hi=None):
+        acc = None
+        for i in range(ja_ref.shape[1]):
+            rho_i = jnp.expand_dims(rho_ref_[lo:hi, i : i + 1, :], 2)
+            t = (rho_i * ja_ref[lo:hi, i : i + 1, a : a + 1, :]) * jb_ref[
+                lo:hi, i : i + 1, :, :
+            ]
+            acc = t if acc is None else acc + t
+        return acc
+
+    dinv_ref[:] = hb_ref[:]
+    for a in range(w):
+        # diagonal entries: + sigma + rho_x (per row a)
+        dinv_ref[:, a : a + 1, a : a + 1, :] = dinv_ref[
+            :, a : a + 1, a : a + 1, :
+        ] + (sigma + jnp.expand_dims(rx_ref[:, a : a + 1, :], 2))
+    for a in range(w):
+        dinv_ref[:nd_, a : a + 1, :, :] = (
+            dinv_ref[:nd_, a : a + 1, :, :]
+            + row_r(rd_ref, j0_ref, j0_ref, a)
+        )
+    for a in range(w):
+        dinv_ref[1:, a : a + 1, :, :] = (
+            dinv_ref[1:, a : a + 1, :, :]
+            + row_r(rd_ref, j1_ref, j1_ref, a)
+        )
+    for a in range(w):
+        dinv_ref[:, a : a + 1, :, :] = (
+            dinv_ref[:, a : a + 1, :, :]
+            + row_r(rc_ref, jc_ref, jc_ref, a)
+        )
+    for a in range(w):
+        g_ref[:, a : a + 1, :, :] = row_r(rd_ref, j1_ref, j0_ref, a)
+
+    # ---- block helpers on (1, w, w, Bt) single-stage slices ------------
+    def spd_inv4(m):
+        """Unrolled Gauss-Jordan on one (1, w, w, Bt) SPD block — same
+        elementwise op order as banded_kernel.spd_inv_bl."""
+        inv = jnp.broadcast_to(eye_w4, m.shape).astype(m.dtype)
+        for k in range(w):
+            piv = m[:, k : k + 1, k : k + 1, :]
+            mrow = m[:, k : k + 1, :, :] / piv
+            irow = inv[:, k : k + 1, :, :] / piv
+            col = m[:, :, k : k + 1, :] * (1.0 - eye_w4[:, :, k : k + 1, :])
+            m = m - col * mrow
+            inv = inv - col * irow
+            rowmask = eye_w4[:, :, k : k + 1, :]  # (1, w, 1, 1): row k
+            m = m * (1.0 - rowmask) + rowmask * mrow
+            inv = inv * (1.0 - rowmask) + rowmask * irow
+        return inv
+
+    def mm4(a, b):
+        """(1, w, w, Bt) block product, sequential j-adds."""
+        acc = None
+        for j in range(w):
+            t = a[:, :, j : j + 1, :] * b[:, j : j + 1, :, :]
+            acc = t if acc is None else acc + t
+        return acc
+
+    # ---- block-Thomas factorization, ROLLED over stages ----------------
+    dinv_ref[0:1] = spd_inv4(dinv_ref[0:1])
+    r = j0_ref.shape[1]
+
+    def lowt_stage(k):
+        """lowT[k] recomputed from the J-blocks (row_r_t per row) — the
+        same commutative product pairs as the unrolled kernel's lowT
+        assembly, stacked along sublanes so no relayout transpose is
+        needed; trades an (N, w, w, B) scratch buffer for ~r*w^2 extra
+        multiply-adds per stage of the (once-per-chunk) factor loop."""
+        j0k = j0_ref[pl.ds(k, 1)]  # (1, r, w, Bt)
+        j1k = j1_ref[pl.ds(k, 1)]
+        rdk = rd_ref[pl.ds(k, 1)]  # (1, r, Bt)
+        rows = []
+        for b in range(w):
+            acc = None
+            for i in range(r):
+                rho_i = jnp.expand_dims(rdk[:, i : i + 1, :], 2)
+                t = j0k[:, i : i + 1, b : b + 1, :] * (
+                    rho_i * j1k[:, i : i + 1, :, :]
+                )
+                acc = t if acc is None else acc + t
+            rows.append(acc)  # (1, 1, w, Bt)
+        return jnp.concatenate(rows, axis=1)  # (1, w, w, Bt)
+
+    def fact_body(k, _):
+        a_km1 = g_ref[pl.ds(k - 1, 1)]
+        g_k = mm4(a_km1, dinv_ref[pl.ds(k - 1, 1)])
+        schur = dinv_ref[pl.ds(k, 1)] - mm4(g_k, lowt_stage(k - 1))
+        dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
+        g_ref[pl.ds(k - 1, 1)] = g_k
+        return 0
+
+    jax.lax.fori_loop(1, N, fact_body, 0)
+
+    # ---- operator applications (parallel over stages) ------------------
+    # Contractions unrolled over the SMALL index with per-term ref-slice
+    # reads: each term is one (N, r|w, Bt) row product, so the peak
+    # transient is ~1 MB instead of the (N, r, w, Bt) / (N, w, w, Bt)
+    # whole-products (10-13 MB each, three of them live inside residuals)
+    # that blew the Mosaic stack budget in the whole-array form.
+    def _contract_w(j_ref, xs):
+        """sum_j J[., :, j, :] * xs[., j, :] -> (., rows, Bt)."""
+        acc = None
+        for j in range(w):
+            t = j_ref[:, :, j, :] * xs[:, j : j + 1, :]
+            acc = t if acc is None else acc + t
+        return acc
+
+    def _contract_rows(j_ref, t_sec):
+        """sum_i J[., i, :, :] * t[., i, :] -> (., w, Bt)."""
+        acc = None
+        for i in range(j_ref.shape[1]):
+            t = j_ref[:, i, :, :] * t_sec[:, i : i + 1, :]
+            acc = t if acc is None else acc + t
+        return acc
+
+    def mat_A(x):
+        ax_d = _contract_w(j0_ref, x[:-1]) + _contract_w(j1_ref, x[1:])
+        ax_c = _contract_w(jc_ref, x)
+        return x, ax_d, ax_c
+
+    def mat_AT(tx, td, tc):
+        c0 = _contract_rows(j0_ref, td)
+        c1 = _contract_rows(j1_ref, td)
+        zrow = jnp.zeros((1,) + c0.shape[1:], c0.dtype)
+        out = tx + jnp.concatenate([c0, zrow], axis=0)
+        out = out + jnp.concatenate([zrow, c1], axis=0)
+        return out + _contract_rows(jc_ref, tc)
+
+    def mat_P(x):
+        return _contract_w(hb_ref, x)
+
+    # ---- block-Thomas solve, ROLLED sweeps through s_ref ---------------
+    def btd_solve(rhs):
+        s_ref[:] = rhs
+
+        def fwd(k, _):
+            g_km1 = g_ref[pl.ds(k - 1, 1)]
+            s_km1 = jnp.expand_dims(s_ref[pl.ds(k - 1, 1)], 1)  # (1,1,w,Bt)
+            s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
+                g_km1 * s_km1, axis=2
+            )
+            return 0
+
+        jax.lax.fori_loop(1, N, fwd, 0)
+        s_last = jnp.expand_dims(s_ref[N - 1 : N], 1)
+        s_ref[N - 1 : N] = jnp.sum(dinv_ref[N - 1 : N] * s_last, axis=2)
+
+        def bwd(i, _):
+            k = N - 2 - i
+            x_next = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 2)  # (1,w,1,Bt)
+            s_k = jnp.expand_dims(s_ref[pl.ds(k, 1)], 1)
+            s_ref[pl.ds(k, 1)] = jnp.sum(
+                dinv_ref[pl.ds(k, 1)] * s_k, axis=2
+            ) - jnp.sum(g_ref[pl.ds(k, 1)] * x_next, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, N - 1, bwd, 0)
+        return s_ref[:]
+
+    def one_iter(_, c):
+        x, zx, zd, zc, yx, yd, yc = c
+        rx, rd_, rc = rx_ref[:], rd_ref[:], rc_ref[:]
+        rhs = sigma * x - q_ref[:] + mat_AT(
+            rx * zx - yx, rd_ * zd - yd, rc * zc - yc
+        )
+        xt = btd_solve(rhs)
+        ax, ad, ac = mat_A(xt)
+        x_n = alpha * xt + (1.0 - alpha) * x
+
+        def relax(zt, z, y, rho, lo, hi):
+            z_rel = alpha * zt + (1.0 - alpha) * z
+            z_new = jnp.clip(z_rel + y / rho, lo, hi)
+            y_new = y + rho * (z_rel - z_new)
+            return z_new, y_new
+
+        zx_n, yx_n = relax(ax, zx, yx, rx, lx_ref[:], ux_ref[:])
+        zd_n, yd_n = relax(ad, zd, yd, rd_, ld_ref[:], ud_ref[:])
+        zc_n, yc_n = relax(ac, zc, yc, rc, lc_ref[:], uc_ref[:])
+        return (x_n, zx_n, zd_n, zc_n, yx_n, yd_n, yc_n)
+
+    def maxsec(a):
+        return jnp.max(a, axis=tuple(range(a.ndim - 1)))[None, :]
+
+    def residuals(x, zx, zd, zc, yx, yd, yc):
+        ex, ed, ec = ex_ref[:], ed_ref[:], ec_ref[:]
+        ds = ds_ref[:]
+        q = q_ref[:]
+        ax, ad, ac = mat_A(x)
+        px = mat_P(x)
+        aty = mat_AT(yx, yd, yc)
+        r_prim = jnp.maximum(
+            jnp.maximum(
+                maxsec(jnp.abs((ax - zx) * ex)),
+                maxsec(jnp.abs((ad - zd) * ed)),
+            ),
+            maxsec(jnp.abs((ac - zc) * ec)),
+        )
+        r_dual = ci * maxsec(jnp.abs((px + q + aty) * ds))
+        max_ax = jnp.maximum(
+            jnp.maximum(maxsec(jnp.abs(ax * ex)), maxsec(jnp.abs(ad * ed))),
+            maxsec(jnp.abs(ac * ec)),
+        )
+        max_z = jnp.maximum(
+            jnp.maximum(maxsec(jnp.abs(zx * ex)), maxsec(jnp.abs(zd * ed))),
+            maxsec(jnp.abs(zc * ec)),
+        )
+        max_prim = jnp.maximum(max_ax, max_z)
+        max_dual = ci * jnp.maximum(
+            jnp.maximum(maxsec(jnp.abs(aty * ds)), maxsec(jnp.abs(px * ds))),
+            maxsec(jnp.abs(q * ds)),
+        )
+        return r_prim, r_dual, max_prim, max_dual
+
+    x = x0_ref[:]
+    yx, yd, yc = yx0_ref[:], yd0_ref[:], yc0_ref[:]
+    zx, zd, zc = zx0_ref[:], zd0_ref[:], zc0_ref[:]
+    done = done0_ref[:]
+    inf_row = jnp.full((1, x.shape[-1]), jnp.inf, dtype)
+    it_inc = jnp.zeros((1, x.shape[-1]), jnp.int32)
+
+    def active(done, k):
+        return jnp.logical_and(done == 0, it0 + k < max_iter)
+
+    def cond(state):
+        k = state[0]
+        done = state[8]
+        return jnp.logical_and(k < interval, jnp.any(active(done, k)))
+
+    def body(state):
+        k, x, zx, zd, zc, yx, yd, yc, done, it_inc, rp, rd, mp, md = state
+        act = active(done, k)
+        new = jax.lax.fori_loop(
+            0, check_every, one_iter, (x, zx, zd, zc, yx, yd, yc)
+        )
+
+        def sel(a, b):
+            return jnp.where(act[None], a, b)
+
+        x = sel(new[0], x)
+        zx, zd, zc = sel(new[1], zx), sel(new[2], zd), sel(new[3], zc)
+        yx, yd, yc = sel(new[4], yx), sel(new[5], yd), sel(new[6], yc)
+        r_prim, r_dual, max_prim, max_dual = residuals(
+            x, zx, zd, zc, yx, yd, yc
+        )
+        eps_pri = eps_abs + eps_rel * max_prim
+        eps_dua = eps_abs + eps_rel * max_dual
+        newly = jnp.logical_and(
+            act, jnp.logical_and(r_prim <= eps_pri, r_dual <= eps_dua)
+        )
+        it_inc = jnp.where(act, it_inc + check_every, it_inc)
+        rp = jnp.where(act, r_prim, rp)
+        rd = jnp.where(act, r_dual, rd)
+        mp = jnp.where(act, max_prim, mp)
+        md = jnp.where(act, max_dual, md)
+        done = jnp.where(newly, 1, done)
+        return (k + check_every, x, zx, zd, zc, yx, yd, yc, done,
+                it_inc, rp, rd, mp, md)
+
+    state = (
+        jnp.int32(0), x, zx, zd, zc, yx, yd, yc, done,
+        it_inc, inf_row, inf_row, inf_row, inf_row,
+    )
+    (_, x, zx, zd, zc, yx, yd, yc, done, it_inc, rp, rd, mp, md) = (
+        jax.lax.while_loop(cond, body, state)
+    )
+
+    xo_ref[:] = x
+    yxo_ref[:], ydo_ref[:], yco_ref[:] = yx, yd, yc
+    zxo_ref[:], zdo_ref[:], zco_ref[:] = zx, zd, zc
+    done_o_ref[:] = done
+    it_o_ref[:] = it_inc
+    rp_o_ref[:], rd_o_ref[:] = rp, rd
+    mp_o_ref[:], md_o_ref[:] = mp, md
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "interval", "check_every", "max_iter",
+        "sigma", "alpha", "eps_abs", "eps_rel",
+        "batch_tile", "interpret",
+    ),
+)
+def banded_admm_chunk_rolled(
+    it0, done0, HbT, J0T, J1T, JcT, qT, boundsT, scaleT,
+    xT, yxT, ydT, ycT, zxT, zdT, zcT,
+    *,
+    interval: int,
+    check_every: int,
+    max_iter: int,
+    sigma: float,
+    alpha: float,
+    eps_abs: float,
+    eps_rel: float,
+    batch_tile: int,
+    interpret: bool = False,
+):
+    """Rolled-loop twin of :func:`..ops.banded_kernel.banded_admm_chunk` —
+    identical signature, returns, and per-iteration semantics; see the
+    module docstring for when the driver picks this variant.
+    """
+    B = xT.shape[-1]
+    if B % batch_tile:
+        raise ValueError(f"batch {B} not divisible by tile {batch_tile}")
+    grid = (B // batch_tile,)
+    dtype = xT.dtype
+
+    def spec(a):
+        blk = a.shape[:-1] + (batch_tile,)
+        nl = a.ndim - 1
+        return pl.BlockSpec(
+            blk,
+            lambda i, nl=nl: (0,) * nl + (i,),
+            pipeline_mode=pl.Buffered(buffer_count=1),
+        )
+
+    inputs = [
+        it0[None, :].astype(jnp.int32),
+        done0[None, :].astype(jnp.int32),
+        HbT, J0T, J1T, JcT, qT,
+        boundsT["lx"], boundsT["ux"], boundsT["rx"],
+        boundsT["ld"], boundsT["ud"], boundsT["rd"],
+        boundsT["lc"], boundsT["uc"], boundsT["rc"],
+        scaleT["ds"], scaleT["ex"], scaleT["ed"], scaleT["ec"],
+        scaleT["ci"][None, :],
+        xT, yxT, ydT, ycT, zxT, zdT, zcT,
+    ]
+    out_shapes = (
+        jax.ShapeDtypeStruct(xT.shape, dtype),
+        jax.ShapeDtypeStruct(yxT.shape, dtype),
+        jax.ShapeDtypeStruct(ydT.shape, dtype),
+        jax.ShapeDtypeStruct(ycT.shape, dtype),
+        jax.ShapeDtypeStruct(yxT.shape, dtype),
+        jax.ShapeDtypeStruct(ydT.shape, dtype),
+        jax.ShapeDtypeStruct(ycT.shape, dtype),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+    )
+    kernel = partial(
+        _kernel,
+        interval=interval,
+        check_every=check_every,
+        max_iter=max_iter,
+        sigma=sigma,
+        alpha=alpha,
+        eps_abs=eps_abs,
+        eps_rel=eps_rel,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=[spec(a) for a in inputs],
+        out_specs=tuple(spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
+                        for s in out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM(xT.shape[:-1] + (batch_tile,), dtype),  # sweep ws
+            pltpu.VMEM(HbT.shape[:-1] + (batch_tile,), dtype),  # dinv
+            pltpu.VMEM(
+                (HbT.shape[0] - 1,) + HbT.shape[1:-1] + (batch_tile,), dtype
+            ),  # g
+        ],
+        # Ceiling probed against quadrotor h100: Mosaic's scoped-vmem
+        # scheduler spends up to the limit (raising it raised the
+        # allocation), so this is set just above the measured minimum
+        # rather than at the chip's ~128 MB physical capacity.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=114 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    (x, yx, yd, yc, zx, zd, zc, done, it_inc, rp, rd, mp, md) = outs
+    return (
+        x, yx, yd, yc, zx, zd, zc,
+        done[0], it_inc[0], rp[0], rd[0], mp[0], md[0],
+    )

@@ -154,6 +154,7 @@ class SolverSettings:
             banded_solver=str(admm_node.get("banded_solver", "thomas")),
             backend=str(admm_node.get("backend", "xla")),
             precision=str(admm_node.get("precision", "highest")),
+            fused_gemm=bool(admm_node.get("fused_gemm", False)),
             polish=bool(admm_node.get("polish", False)),
             check_infeasibility=bool(
                 admm_node.get("check_infeasibility", True)

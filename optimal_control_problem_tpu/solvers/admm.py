@@ -127,6 +127,17 @@ class ADMMSettings:
     # (3-pass bf16) trades ~2x matmul cost for a slightly earlier float32
     # noise floor - validate convergence before enabling.
     precision: str = "highest"
+    # Single-GEMM condensed iteration (shared-factorization batched path
+    # only): algebraically fold the three per-iteration products
+    # (rhs assembly, x-update, z-projection argument) into ONE
+    # (B, n+m) @ (n+m, n+m) GEMM against the precomputed block operator
+    # [[OP, OP A^T], [A OP, A OP A^T]].  ~1.6x the flops of the 3-GEMM
+    # form but one MXU launch instead of three at a better aspect ratio —
+    # wins when the per-iteration GEMMs are pipeline-bound, which is what
+    # the headline roofline measured (26% MFU, docs/PERFORMANCE.md).
+    # Same fixed point and tolerances; f32 accumulation differs from the
+    # 3-GEMM form, so iterates are not bitwise comparable.
+    fused_gemm: bool = False
     # OSQP-style solution polishing: after convergence, re-solve the
     # equality-constrained KKT system on the detected active set (masked
     # formulation, delta-regularized, one iterative-refinement step) and

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.banded_kernel import banded_admm_chunk
+from ..ops.banded_rolled_kernel import banded_admm_chunk_rolled, pick_rolled_tile
 from ..ops.block_tridiag import btd_factor, btd_solve
 from .admm import ADMMSettings, QPSolution, _RHO_MAX, _RHO_MIN, f32_matmuls
 from .admm_banded import (
@@ -206,7 +207,7 @@ def _strip_sections(v, N, w, r, r2, had_r, had_r2):
 
 @partial(
     jax.jit,
-    static_argnames=("settings", "batch_tile", "interpret"),
+    static_argnames=("settings", "batch_tile", "interpret", "rolled"),
 )
 @f32_matmuls
 def admm_solve_banded_batch(
@@ -216,6 +217,7 @@ def admm_solve_banded_batch(
     y0: Optional[jnp.ndarray] = None,  # (B, m)
     batch_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
+    rolled: Optional[bool] = None,  # None = auto (when unrolled won't fit)
 ):
     """Solve a BATCH of stage-structured QPs (leading dim B on every field).
 
@@ -234,9 +236,20 @@ def admm_solve_banded_batch(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if batch_tile is None:
-        batch_tile = pick_batch_tile(
-            B, N, w, max(qp.J0.shape[2], 1), max(qp.Jc.shape[2], 1)
-        )
+        r_eff = max(qp.J0.shape[2], 1)
+        r2_eff = max(qp.Jc.shape[2], 1)
+        if rolled:
+            batch_tile = pick_rolled_tile(B, N, w, r_eff, r2_eff)
+        else:
+            batch_tile = pick_batch_tile(B, N, w, r_eff, r2_eff)
+            if batch_tile is None and rolled is None:
+                # Unrolled kernel's (spill-heavy) working set does not fit:
+                # try the ROLLED kernel, whose VMEM use is the data itself
+                # (ops/banded_rolled_kernel.py) — this is what puts
+                # quadrotor h100 on a fused kernel instead of the XLA
+                # fallback.
+                batch_tile = pick_rolled_tile(B, N, w, r_eff, r2_eff)
+                rolled = batch_tile is not None
     elif batch_tile < 0:
         # Explicit fallback request (tests / VMEM-pressure escape hatch).
         batch_tile = None
@@ -375,8 +388,9 @@ def admm_solve_banded_batch(
             "ld": ldT, "ud": udT, "rd": rdT_,
             "lc": lcT, "uc": ucT, "rc": rcT,
         }
+        chunk_fn = banded_admm_chunk_rolled if rolled else banded_admm_chunk
         (xT2, yx2, yd2, yc2, zx2, zd2, zc2, kdone, it_inc,
-         rp_k, rd_k, mp_k, md_k) = banded_admm_chunk(
+         rp_k, rd_k, mp_k, md_k) = chunk_fn(
             it_b, stop.astype(jnp.int32),
             HbT, J0T, J1T, JcT, qT, bounds, scaleT,
             _t(x.reshape(Bp, N, w)), yx, yd, yc, zx, zd, zc,

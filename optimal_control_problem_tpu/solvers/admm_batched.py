@@ -118,6 +118,21 @@ def _shared_rho_vec(l, u, rho, dtype):
     return rho_v
 
 
+def _fused_operator(OP, Ab):
+    """Block operator for the single-GEMM condensed iteration.
+
+    ``[xt | zt] = [sigma*x - qb | rho*z - y] @ M2`` with
+    ``M2 = [[OP, OP A^T], [A OP, A OP A^T]]`` reproduces the 3-GEMM
+    iteration's fixed point exactly (``xt = rhs @ OP``, ``zt = xt @ A^T``
+    with ``rhs = sigma*x - qb + (rho*z - y) @ A``); see
+    ``ADMMSettings.fused_gemm``.
+    """
+    top = jnp.concatenate([OP, OP @ Ab.T], axis=1)
+    AbOP = Ab @ OP
+    bottom = jnp.concatenate([AbOP, AbOP @ Ab.T], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def _factor_shared(Pb, Ab, rho_v, sigma, method: str):
     n = Pb.shape[0]
     m = Ab.shape[0]
@@ -444,6 +459,11 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
     sigma = jnp.asarray(st.sigma, dtype)
     alpha = jnp.asarray(st.alpha, dtype)
     Pb, Ab, D, E, c, rho_v0, OP0 = fac
+    fused = st.fused_gemm and st.method == "condensed" and m > 0
+    if fused:
+        # The loop carries the (n+m, n+m) block operator instead of OP;
+        # a rho adaptation refactors OP and rebuilds it (rare).
+        OP0 = _fused_operator(OP0, Ab)
 
     l = jnp.minimum(l.astype(dtype), u.astype(dtype))
     u = u.astype(dtype)
@@ -458,7 +478,16 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
 
     def one_iter(carry, _):
         x, z, y, rho, OP = carry
-        if st.method == "condensed":
+        if fused:
+            # One (B, n+m) @ (n+m, n+m) GEMM per iteration (see
+            # ADMMSettings.fused_gemm); OP here is the block operator.
+            lhs = jnp.concatenate(
+                [sigma * x - qb, rho[None, :] * z - y], axis=1
+            )
+            xtzt = lhs @ OP
+            xt = xtzt[:, :n]
+            zt = xtzt[:, n:]
+        elif st.method == "condensed":
             rhs = sigma * x - qb + (rho[None, :] * z - y) @ Ab
             xt = rhs @ OP
             zt = xt @ Ab.T
@@ -564,9 +593,10 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
 
                 def adapt(_):
                     new_rho = jnp.clip(rho * scale, _RHO_MIN, _RHO_MAX)
-                    return new_rho, _factor_shared(
-                        Pb, Ab, new_rho, sigma, st.method
-                    )
+                    new_OP = _factor_shared(Pb, Ab, new_rho, sigma, st.method)
+                    if fused:
+                        new_OP = _fused_operator(new_OP, Ab)
+                    return new_rho, new_OP
 
                 return jax.lax.cond(
                     jnp.logical_and(trigger, jnp.logical_not(all_done)),

@@ -791,7 +791,10 @@ class SQPOptimizationSolver:
         vmapped XLA loop automatically when the kernel working set exceeds
         VMEM (pick_batch_tile -> None), with identical semantics.
         """
-        from ..stagewise import build_stage_blocks
+        from ..stagewise import (
+            build_stage_blocks_batch,
+            build_stage_vectors_batch,
+        )
         from .admm_banded import BandedQP
         from .admm_banded_batch import admm_solve_banded_batch
 
@@ -799,9 +802,13 @@ class SQPOptimizationSolver:
         ss = self.stage_structure
         admm_settings = opt.admm
         dtype = opt.dtype
-        _, _, vectors, stack_bounds = self._parts
-        blocks_b = jax.vmap(build_stage_blocks(ss, dtype, opt.hessian_reg))
-        vectors_b = jax.vmap(vectors)
+        _, _, _, stack_bounds = self._parts
+        # Batch-LAST derivative/vector evaluation: the scenario batch fills
+        # the TPU lanes, so each trig/chain-rule op runs once per stage
+        # across the whole batch instead of once per scenario row with
+        # w-of-128 lanes used (stagewise.py, round-4 derivative-layer fix).
+        blocks_T = build_stage_blocks_batch(ss, dtype, opt.hessian_reg)
+        vectors_T = build_stage_vectors_batch(ss, dtype)
         bounds_b = jax.vmap(stack_bounds)
         f_b = jax.vmap(self.f_fn)
         step_b = jax.vmap(self._make_step_rule())
@@ -814,14 +821,16 @@ class SQPOptimizationSolver:
             # Iterate-independent: hoisted out of the SQP scan (only the
             # shift by c(x_k) changes per iteration).
             lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
+            pT = p.T
 
             def sqp_iter(carry, _):
                 x, qpx, qpy, stop = carry
-                Hb, J0, J1, Jc = blocks_b(x, p)
-                grad, cval = vectors_b(x, p)
+                HbT, J0T, J1T, JcT = blocks_T(x.T, pT)
+                gradT, cvalT = vectors_T(x.T, pT)
+                bl = lambda a: jnp.moveaxis(a, -1, 0)
                 qp = BandedQP(
-                    Hb=Hb, J0=J0, J1=J1, Jc=Jc,
-                    q=grad, l=lower - cval, u=upper - cval,
+                    Hb=bl(HbT), J0=bl(J0T), J1=bl(J1T), Jc=bl(JcT),
+                    q=gradT.T, l=lower - cvalT.T, u=upper - cvalT.T,
                 )
                 sol = admm_solve_banded_batch(
                     qp,

@@ -209,3 +209,69 @@ def test_forced_vmap_fallback_matches():
     np.testing.assert_allclose(
         np.asarray(ref.x), np.asarray(bat.x), atol=5e-5, rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolled-kernel variant (ops/banded_rolled_kernel.py): the loop-structured
+# twin used for long horizons (quadrotor h100) where the unrolled kernel's
+# register spills blow past VMEM.  Must match the vmapped reference with
+# the same contracts as the unrolled kernel.
+
+
+@pytest.mark.parametrize("adaptive", [True, False])
+def test_rolled_matches_vmapped_reference_forced_budget(adaptive):
+    st = SET.replace(
+        adaptive_rho=adaptive, eps_abs=0.0, eps_rel=0.0, max_iter=100,
+        check_infeasibility=False,
+    )
+    qp_b = stack_qps([random_stage_qp(s) for s in range(4)])
+    ref = vmapped_ref(qp_b, st)
+    bat = admm_solve_banded_batch(qp_b, st, rolled=True)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(bat.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(bat.x), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.y), np.asarray(bat.y), atol=1e-3, rtol=1e-2
+    )
+
+
+def test_rolled_matches_unrolled_kernel():
+    """The two kernel variants run the same algorithm over the same chunk
+    boundaries — solutions and iteration counts must agree to fp noise."""
+    qp_b = stack_qps([random_stage_qp(s + 7) for s in range(4)])
+    a = admm_solve_banded_batch(qp_b, SET)
+    b = admm_solve_banded_batch(qp_b, SET, rolled=True)
+    np.testing.assert_array_equal(np.asarray(a.iters), np.asarray(b.iters))
+    np.testing.assert_allclose(
+        np.asarray(a.x), np.asarray(b.x), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_rolled_warm_start_and_certificates():
+    qp_b = stack_qps([random_stage_qp(s + 10) for s in range(3)])
+    n = qp_b.q.shape[1]
+    m = qp_b.l.shape[1]
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(3, n)) * 0.1, jnp.float32)
+    y0 = jnp.asarray(rng.normal(size=(3, m)) * 0.1, jnp.float32)
+    ref = vmapped_ref(qp_b, SET, x0, y0)
+    bat = admm_solve_banded_batch(qp_b, SET, x0=x0, y0=y0, rolled=True)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(bat.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(bat.x), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_rolled_tile_policy():
+    from optimal_control_problem_tpu.ops.banded_rolled_kernel import (
+        pick_rolled_tile,
+    )
+
+    # quadrotor h100 (the unrolled kernel's VMEM failure case, r2 padded
+    # to 1) MUST fit the rolled kernel at lane width.
+    assert pick_batch_tile(64, 100, 16, 12, 1) is None
+    assert pick_rolled_tile(64, 100, 16, 12, 1) == 64
+    # ... but a horizon so long that even the data cannot fit must still
+    # hand back None (XLA fallback).
+    assert pick_rolled_tile(64, 600, 16, 12, 1) is None

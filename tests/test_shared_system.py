@@ -258,3 +258,33 @@ def test_shared_batch_sqp_populates_status_flags():
     assert bool(jnp.all(res.qp_converged))
     assert not bool(jnp.any(res.qp_prim_inf))
     assert not bool(jnp.any(res.qp_dual_inf))
+
+
+def test_fused_gemm_iteration_matches():
+    """fused_gemm=True (single-GEMM condensed iteration) reaches the same
+    solutions/certificate behavior as the 3-GEMM form at the solver
+    tolerance, with and without adaptive rho."""
+    rng = np.random.default_rng(2)
+    B, n, m = 6, 8, 11
+    L = rng.normal(size=(n, n))
+    P = (L @ L.T + 0.5 * np.eye(n)).astype(np.float32)
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    qs = rng.normal(size=(B, n)).astype(np.float32)
+    centers = rng.normal(size=(B, n)) @ A.T
+    ls = (centers - rng.uniform(0.2, 1.5, size=(B, m))).astype(np.float32)
+    us = (centers + rng.uniform(0.2, 1.5, size=(B, m))).astype(np.float32)
+    for adaptive in (False, True):
+        st = SET.replace(adaptive_rho=adaptive)
+        ref = admm_solve_shared(
+            jnp.asarray(P), jnp.asarray(A), jnp.asarray(qs),
+            jnp.asarray(ls), jnp.asarray(us), st,
+        )
+        fus = admm_solve_shared(
+            jnp.asarray(P), jnp.asarray(A), jnp.asarray(qs),
+            jnp.asarray(ls), jnp.asarray(us), st.replace(fused_gemm=True),
+        )
+        assert bool(jnp.all(ref.converged)) and bool(jnp.all(fus.converged))
+        np.testing.assert_allclose(
+            np.asarray(ref.x), np.asarray(fus.x), atol=5e-3,
+            err_msg=f"adaptive={adaptive}",
+        )

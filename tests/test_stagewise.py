@@ -162,3 +162,53 @@ def test_banded_auto_default_for_stage_structures():
         cartpole.make_config(horizon=50, dt=0.02, step_num=2)
     )
     assert plain._solver.options.admm.method == "kkt"
+
+
+def test_batch_last_evaluators_match_vmapped():
+    """build_stage_blocks_batch / build_stage_vectors_batch (the batch-last
+    derivative layer the banded batch SQP path uses) must equal the
+    vmapped batch-leading evaluators on every model structure."""
+    from optimal_control_problem_tpu.models import quadrotor, unicycle
+    from optimal_control_problem_tpu.stagewise import (
+        build_stage_blocks,
+        build_stage_blocks_batch,
+        build_stage_vectors_batch,
+        build_stagewise_parts,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        cartpole.stage_structure(6, 0.04),
+        unicycle.stage_structure(5, 0.1),
+        quadrotor.stage_structure(4, 0.02),
+    ]
+    for ss in cases:
+        B = 7
+        n = ss.horizon * ss.frame_size
+        n_p = ss.ref_frame_size * ss.horizon if ss.ref_frame_size else 3
+        if ss.ref_frame_size == 0:
+            n_p = 1  # scalar-style reference broadcast to every stage
+        x = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+        p = jnp.asarray(rng.normal(size=(B, n_p)), jnp.float32)
+
+        for reg in ("auto", 0.0, 0.5):
+            lead = jax.vmap(build_stage_blocks(ss, jnp.float32, reg))(x, p)
+            HbT, J0T, J1T, JcT = build_stage_blocks_batch(
+                ss, jnp.float32, reg
+            )(x.T, p.T)
+            last = [jnp.moveaxis(a, -1, 0) for a in (HbT, J0T, J1T, JcT)]
+            for a, b, name in zip(lead, last, ("Hb", "J0", "J1", "Jc")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                    err_msg=f"{name} mismatch (reg={reg})",
+                )
+
+        _, _, vectors, _ = build_stagewise_parts(ss, jnp.float32)
+        g_lead, c_lead = jax.vmap(vectors)(x, p)
+        gT, cT = build_stage_vectors_batch(ss, jnp.float32)(x.T, p.T)
+        np.testing.assert_allclose(
+            np.asarray(g_lead), np.asarray(gT.T), rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_lead), np.asarray(cT.T), rtol=2e-5, atol=1e-6
+        )
