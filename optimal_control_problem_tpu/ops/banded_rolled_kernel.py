@@ -120,6 +120,24 @@ def _kernel(
     w = q_ref.shape[1]
     nd_ = N - 1
     dtype = q_ref.dtype
+    UNROLL = 4
+
+    def _run_grouped(count, step):
+        """Run ``step(i)`` for i in [0, count) — UNROLL steps per fori
+        iteration (dynamic base + static offsets), remainder unrolled
+        statically."""
+        groups = count // UNROLL
+
+        def group_body(g, _):
+            i0 = g * UNROLL
+            for j in range(UNROLL):
+                step(i0 + j)
+            return 0
+
+        if groups > 0:
+            jax.lax.fori_loop(0, groups, group_body, 0)
+        for i in range(groups * UNROLL, count):
+            step(i)
 
     it0 = it0_ref[:]
     ci = ci_ref[:]  # (1, Bt)
@@ -217,15 +235,18 @@ def _kernel(
             rows.append(acc)  # (1, 1, w, Bt)
         return jnp.concatenate(rows, axis=1)  # (1, w, w, Bt)
 
-    def fact_body(k, _):
+    def fact_step(k):
         a_km1 = g_ref[pl.ds(k - 1, 1)]
         g_k = mm4(a_km1, dinv_ref[pl.ds(k - 1, 1)])
         schur = dinv_ref[pl.ds(k, 1)] - mm4(g_k, lowt_stage(k - 1))
         dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
         g_ref[pl.ds(k - 1, 1)] = g_k
-        return 0
 
-    jax.lax.fori_loop(1, N, fact_body, 0)
+    # Partial unroll: UNROLL stages per fori iteration amortizes the
+    # per-iteration loop/addressing overhead of the (inherently
+    # sequential) stage recurrences without re-inflating the program to
+    # the full-unroll size that spilled VMEM.
+    _run_grouped(N - 1, lambda i: fact_step(i + 1))
 
     # ---- operator applications (parallel over stages) ------------------
     # Contractions unrolled over the SMALL index with per-term ref-slice
@@ -269,28 +290,27 @@ def _kernel(
     def btd_solve(rhs):
         s_ref[:] = rhs
 
-        def fwd(k, _):
+        def fwd(i):
+            k = i + 1
             g_km1 = g_ref[pl.ds(k - 1, 1)]
             s_km1 = jnp.expand_dims(s_ref[pl.ds(k - 1, 1)], 1)  # (1,1,w,Bt)
             s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
                 g_km1 * s_km1, axis=2
             )
-            return 0
 
-        jax.lax.fori_loop(1, N, fwd, 0)
+        _run_grouped(N - 1, fwd)
         s_last = jnp.expand_dims(s_ref[N - 1 : N], 1)
         s_ref[N - 1 : N] = jnp.sum(dinv_ref[N - 1 : N] * s_last, axis=2)
 
-        def bwd(i, _):
+        def bwd(i):
             k = N - 2 - i
             x_next = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 2)  # (1,w,1,Bt)
             s_k = jnp.expand_dims(s_ref[pl.ds(k, 1)], 1)
             s_ref[pl.ds(k, 1)] = jnp.sum(
                 dinv_ref[pl.ds(k, 1)] * s_k, axis=2
             ) - jnp.sum(g_ref[pl.ds(k, 1)] * x_next, axis=1)
-            return 0
 
-        jax.lax.fori_loop(0, N - 1, bwd, 0)
+        _run_grouped(N - 1, bwd)
         return s_ref[:]
 
     def one_iter(_, c):

@@ -149,6 +149,7 @@ class SolverSettings:
             max_iter=int(admm_node.get("max_iter", 10000)),
             check_every=int(admm_node.get("check_every", 25)),
             scaling_iters=int(admm_node.get("scaling_iters", 10)),
+            scaling_refresh=str(admm_node.get("scaling_refresh", "step")),
             adaptive_rho=bool(admm_node.get("adaptive_rho", True)),
             method=str(admm_node.get("method", "kkt")),
             banded_solver=str(admm_node.get("banded_solver", "thomas")),

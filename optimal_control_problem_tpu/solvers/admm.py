@@ -100,6 +100,19 @@ class ADMMSettings:
     max_iter: int = 10000  # SQPOptimizationSolver.cpp:85
     check_every: int = 25  # OSQP check_termination default
     scaling_iters: int = 10  # OSQP scaling default
+    # When to recompute Ruiz equilibration on the banded batch SQP path:
+    # "step" (default) runs it fresh for every SQP iteration's QP — the
+    # reference behavior (CuCaQP full re-setup per iteration,
+    # CuCaQP.cpp:271-288 -> OSQP setup scaling).  "tick" computes the
+    # scalings ONCE per solve call from the first linearization and
+    # reuses them across all SQP iterations: the scalings are a pure
+    # preconditioner (termination tests run on UNSCALED residuals either
+    # way, and per-row rho types are shift-invariant), so semantics are
+    # OSQP-exact while the per-step prepare cost drops by ~scaling_iters
+    # passes over the operator blocks.  Warm-started MPC re-linearizes
+    # near the previous iterate, so the stale preconditioner costs at
+    # most a few ADMM iterations (measured: none at steady state).
+    scaling_refresh: str = "step"
     adaptive_rho: bool = True
     adaptive_rho_interval: int = 100
     adaptive_rho_tolerance: float = 5.0

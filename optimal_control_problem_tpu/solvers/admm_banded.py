@@ -152,6 +152,14 @@ def ruiz_equilibrate_banded(qp: BandedQP, iters: int):
         D, Ex, Ed, Ec, c = jax.lax.fori_loop(
             0, iters, body, (D, Ex, Ed, Ec, c)
         )
+    # Pin the identity-row scaling to its equilibration fixed point
+    # EXACTLY: every solver below hardcodes the scaled x-section of A as
+    # the identity (``_apply_A`` returns x, the kernels' ``mat_A`` pass x
+    # through), which is only correct when Ex * D == 1.  The Ruiz loop
+    # drives the product to 1 but lands ~5e-4 away after 10 iterations —
+    # an offset that would floor box-bound enforcement accuracy below the
+    # QP tolerance regardless of eps.
+    Ex = 1.0 / D
 
     E_parts = [Ex.reshape(-1)]
     if r:
@@ -169,6 +177,30 @@ def ruiz_equilibrate_banded(qp: BandedQP, iters: int):
         u=E * qp.u,
     )
     return scaled, D.reshape(-1), E, c
+
+
+def apply_scalings(qp: BandedQP, D, E, c):
+    """Scale a BandedQP with PRECOMPUTED Ruiz factors (one elementwise
+    pass — the cheap reuse path behind ``ADMMSettings.scaling_refresh ==
+    "tick"``).  ``D (n,)``, ``E (m,)`` ordered [x; dyn; sc], ``c`` scalar;
+    same output contract as :func:`ruiz_equilibrate_banded`.
+    """
+    N, w = qp.Hb.shape[0], qp.Hb.shape[1]
+    r = qp.J0.shape[1]
+    r2 = qp.Jc.shape[1]
+    n = N * w
+    Dn = D.reshape(N, w)
+    Ed = E[n : n + (N - 1) * r].reshape(N - 1, r) if r else None
+    Ec = E[n + (N - 1) * r :].reshape(N, r2) if r2 else None
+    return BandedQP(
+        Hb=c * Dn[:, :, None] * qp.Hb * Dn[:, None, :],
+        J0=Ed[:, :, None] * qp.J0 * Dn[:-1, None, :] if r else qp.J0,
+        J1=Ed[:, :, None] * qp.J1 * Dn[1:, None, :] if r else qp.J1,
+        Jc=Ec[:, :, None] * qp.Jc * Dn[:, None, :] if r2 else qp.Jc,
+        q=c * D * qp.q,
+        l=E * qp.l,
+        u=E * qp.u,
+    )
 
 
 def _apply_A(qp: BandedQP, x):

@@ -48,12 +48,29 @@ from .admm_banded import (
     BandedQP,
     _apply_A,
     _rho_vec,
+    apply_scalings,
     banded_certificates,
     banded_polish,
     ruiz_equilibrate_banded,
 )
 
-__all__ = ["admm_solve_banded_batch", "pick_batch_tile"]
+__all__ = ["admm_solve_banded_batch", "pick_batch_tile", "ruiz_scalings_batch"]
+
+
+def ruiz_scalings_batch(qp: BandedQP, iters: int):
+    """Batch Ruiz factors only: ``(D (B, n), E (B, m), c (B,))``.
+
+    Batch-LAST vmap (scenarios in lanes) like the driver's own prepare;
+    used by the SQP layer to hoist equilibration out of the SQP scan
+    (``ADMMSettings.scaling_refresh == "tick"``).
+    """
+    qpT = jax.tree_util.tree_map(_t, qp)
+    _, DT, ET, cT = jax.vmap(
+        lambda q_: ruiz_equilibrate_banded(q_, iters),
+        in_axes=-1,
+        out_axes=-1,
+    )(qpT)
+    return _ut(DT), _ut(ET), cT
 
 
 def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
@@ -218,6 +235,7 @@ def admm_solve_banded_batch(
     batch_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     rolled: Optional[bool] = None,  # None = auto (when unrolled won't fit)
+    scalings=None,  # optional precomputed (D (B,n), E (B,m), c (B,))
 ):
     """Solve a BATCH of stage-structured QPs (leading dim B on every field).
 
@@ -296,12 +314,32 @@ def admm_solve_banded_batch(
         )
         qp = jax.tree_util.tree_map(rep, qp)
         x0, y0 = rep(x0), rep(y0)
+        if scalings is not None:
+            scalings = tuple(rep(s) for s in scalings)
     Bp = B + pad_b
 
-    # -- prepare (XLA, batch-leading) -----------------------------------
-    scaled, D, E, c = jax.vmap(
-        lambda q_: ruiz_equilibrate_banded(q_, st.scaling_iters)
-    )(qp)
+    # -- prepare (XLA, batch-LAST) --------------------------------------
+    if scalings is not None:
+        # Precomputed factors (scaling_refresh="tick"): one elementwise
+        # scaling pass instead of the Ruiz iteration loop.
+        D, E, c = scalings
+        D, E, c = D.astype(dtype), E.astype(dtype), c.astype(dtype)
+        scaled = jax.vmap(apply_scalings)(qp, D, E, c)
+    else:
+        # Ruiz runs scaling_iters x (rescale blocks + norms) per SQP
+        # step; vmapped over a LEADING batch axis every intermediate has
+        # w (5..16) in the lanes.  Mapping the batch as the TRAILING axis
+        # instead puts the scenario batch in the lanes — the same layout
+        # fix as the batch-last derivative layer (stagewise.py).  Same
+        # math, same per-element op order; only the vmap axis moves.
+        qpT = jax.tree_util.tree_map(lambda a: _t(a), qp)
+        scaledT, DT, ET, cT = jax.vmap(
+            lambda q_: ruiz_equilibrate_banded(q_, st.scaling_iters),
+            in_axes=-1,
+            out_axes=-1,
+        )(qpT)
+        scaled = jax.tree_util.tree_map(lambda a: _ut(a), scaledT)
+        D, E, c = _ut(DT), _ut(ET), cT
     cinv = 1.0 / c  # (Bp,)
     Dinv, Einv = 1.0 / D, 1.0 / E
     rho0 = _rho_vec(scaled.l, scaled.u, jnp.asarray(st.rho, dtype), dtype)

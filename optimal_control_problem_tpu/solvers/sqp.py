@@ -796,7 +796,10 @@ class SQPOptimizationSolver:
             build_stage_vectors_batch,
         )
         from .admm_banded import BandedQP
-        from .admm_banded_batch import admm_solve_banded_batch
+        from .admm_banded_batch import (
+            admm_solve_banded_batch,
+            ruiz_scalings_batch,
+        )
 
         opt = self.options
         ss = self.stage_structure
@@ -822,21 +825,35 @@ class SQPOptimizationSolver:
             # shift by c(x_k) changes per iteration).
             lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
             pT = p.T
+            bl = lambda a: jnp.moveaxis(a, -1, 0)
 
-            def sqp_iter(carry, _):
-                x, qpx, qpy, stop = carry
+            def build_qp(x):
                 HbT, J0T, J1T, JcT = blocks_T(x.T, pT)
                 gradT, cvalT = vectors_T(x.T, pT)
-                bl = lambda a: jnp.moveaxis(a, -1, 0)
-                qp = BandedQP(
+                return BandedQP(
                     Hb=bl(HbT), J0=bl(J0T), J1=bl(J1T), Jc=bl(JcT),
                     q=gradT.T, l=lower - cvalT.T, u=upper - cvalT.T,
                 )
+
+            if admm_settings.scaling_refresh == "tick":
+                # Hoist Ruiz out of the SQP scan: equilibrate ONCE against
+                # the first linearization and reuse the factors for every
+                # step's QP (see ADMMSettings.scaling_refresh).
+                scalings = ruiz_scalings_batch(
+                    build_qp(x_init), admm_settings.scaling_iters
+                )
+            else:
+                scalings = None
+
+            def sqp_iter(carry, _):
+                x, qpx, qpy, stop = carry
+                qp = build_qp(x)
                 sol = admm_solve_banded_batch(
                     qp,
                     admm_settings,
                     x0=qpx if opt.qp_warm_start else None,
                     y0=qpy if opt.qp_warm_start else None,
+                    scalings=scalings,
                 )
                 x_new, step_norm = step_b(x, sol.x, p, lbx, ubx, lbg, ubg)
                 if early:

@@ -145,12 +145,26 @@ def test_banded_ruiz_scaling_factors_match_dense():
 
     qp = random_stage_qp(5)
     P, A = dense_equivalent(qp)
+    n = qp.q.shape[0]
     _, _, _, D_d, E_d, c_d = ruiz_equilibrate(
         jnp.asarray(P), qp.q, jnp.asarray(A), 10
     )
     _, D_b, E_b, c_b = ruiz_equilibrate_banded(qp, 10)
     np.testing.assert_allclose(np.asarray(D_b), np.asarray(D_d), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(E_b), np.asarray(E_d), rtol=1e-4)
+    # x-section rows: the structured path PINS Ex = 1/D exactly (the
+    # solvers hardcode the scaled identity section of A as I, which is
+    # only correct at the Ex*D == 1 fixed point); the dense path keeps
+    # the Ruiz iterate, which lands ~5e-4 away.  Exact invariant here,
+    # dense-agreement on the remaining (general) rows.
+    np.testing.assert_allclose(
+        np.asarray(E_b[:n] * D_b), np.ones(n, np.float32), rtol=2e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(E_b[:n]), np.asarray(E_d[:n]), rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(E_b[n:]), np.asarray(E_d[n:]), rtol=1e-4
+    )
     np.testing.assert_allclose(float(c_b), float(c_d), rtol=1e-4)
 
 

@@ -275,3 +275,56 @@ def test_rolled_tile_policy():
     # ... but a horizon so long that even the data cannot fit must still
     # hand back None (XLA fallback).
     assert pick_rolled_tile(64, 600, 16, 12, 1) is None
+
+
+def test_precomputed_scalings_match_full_ruiz():
+    """scalings=... (the scaling_refresh="tick" reuse path) with factors
+    computed by ruiz_scalings_batch on the SAME qp must reproduce the
+    in-driver Ruiz path exactly."""
+    from optimal_control_problem_tpu.solvers.admm_banded_batch import (
+        ruiz_scalings_batch,
+    )
+
+    qp_b = stack_qps([random_stage_qp(s) for s in range(3)])
+    ref = admm_solve_banded_batch(qp_b, SET)
+    sc = ruiz_scalings_batch(qp_b, SET.scaling_iters)
+    pre = admm_solve_banded_batch(qp_b, SET, scalings=sc)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(pre.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(pre.x), atol=1e-6, rtol=1e-5
+    )
+
+
+def test_scaling_refresh_tick_sqp_converges():
+    """End-to-end banded batch SQP with scaling_refresh="tick": stale
+    preconditioner, same solutions at the MPC tolerance."""
+    from optimal_control_problem_tpu.models import cartpole
+    from optimal_control_problem_tpu.parallel import BatchedSolver
+
+    B, H = 4, 8
+    rng = np.random.default_rng(0)
+    frames = np.zeros((B, cartpole.FRAME), np.float32)
+    frames[:, 2] = rng.uniform(-0.5, 0.5, B).astype(np.float32)
+    refs = np.full((B, 1), np.pi, np.float32)
+
+    def run(refresh):
+        cfg = cartpole.make_config(
+            horizon=H, dt=0.04, alpha=0.3, step_num=6,
+            formulation="reduced",
+            ADMM_settings={
+                "method": "banded", "max_iter": 500,
+                "adaptive_rho": False, "rho": 0.05,
+                "scaling_refresh": refresh,
+            },
+        )
+        b = BatchedSolver(cartpole.build(cfg, stagewise=True))
+        st = b.init_state(B)
+        for _ in range(3):
+            t, o, st = b.solve(frames, refs, st)
+        return np.asarray(t), np.asarray(o)
+
+    t_step, o_step = run("step")
+    t_tick, o_tick = run("tick")
+    assert np.isfinite(t_tick).all()
+    np.testing.assert_allclose(o_tick, o_step, rtol=1e-2)
+    np.testing.assert_allclose(t_tick, t_step, atol=5e-3)
