@@ -49,8 +49,7 @@ def run(name, **admm_over):
           f"qp_iters {ql.mean():.1f} finite={ok}", flush=True)
 
 
-run("scaling_iters=10 ce=25")
-run("scaling_iters=3  ce=25", scaling_iters=3)
-run("scaling_iters=1  ce=25", scaling_iters=1)
-run("scaling_iters=10 ce=5 ", check_every=5)
-run("scaling_iters=3  ce=5 ", scaling_iters=3, check_every=5)
+run("si=10 ce=25 step-ruiz", )
+run("si=10 ce=25 tick-ruiz", scaling_refresh="tick")
+run("si=10 ce=5  step-ruiz", check_every=5)
+run("si=10 ce=5  tick-ruiz", check_every=5, scaling_refresh="tick")

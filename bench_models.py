@@ -50,18 +50,24 @@ def bench_model(name, build_fn, frames, refs, batch, ticks, warmup=2):
     jax.block_until_ready(trajs)
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(ticks):
-        trajs, objs, state = batched.solve(frames, refs, state)
-    jax.block_until_ready(trajs)
-    per_tick = (time.perf_counter() - t0) / ticks
+    # Three pipelined windows; report the MEDIAN (the relay occasionally
+    # produces physically impossible fast/slow outlier windows, so a
+    # best-of pick is not trustworthy for the committed artifact).
+    t_windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ticks):
+            trajs, objs, state = batched.solve(frames, refs, state)
+        jax.block_until_ready(trajs)
+        t_windows.append((time.perf_counter() - t0) / ticks)
+    per_tick = float(np.median(t_windows))
     finite = bool(np.isfinite(np.asarray(trajs)).all())
 
     # Deployment-shaped step latency at small batch, two views:
     # * step_ms — pipelined ticks (state-dependent chain, one sync at the
     #   end): pure device compute per MPC step, what an ON-HOST controller
-    #   pays; compare against BASELINE.md's 5 ms budget.  Best of 3 windows
-    #   (the session TPU sits behind a relay with multi-minute slow phases).
+    #   pays; compare against BASELINE.md's 5 ms budget.  Median of 3
+    #   windows (the relay has slow phases AND impossible-fast glitches).
     # * p50/p99_sync_ms — blocking every tick: upper bound that includes
     #   this session's ~25 ms relay round trip; on-host deployments don't
     #   pay it, but it bounds worst-case remote serving.
@@ -79,7 +85,7 @@ def bench_model(name, build_fn, frames, refs, batch, ticks, warmup=2):
             ltr, _, lstate = batched.solve(lf, lr, lstate)
         jax.block_until_ready(ltr)
         windows.append(time.perf_counter() - t0)
-    step_ms = min(windows) / lat_ticks * 1e3
+    step_ms = float(np.median(windows)) / lat_ticks * 1e3
     lats = []
     for _ in range(lat_ticks):
         t0 = time.perf_counter()

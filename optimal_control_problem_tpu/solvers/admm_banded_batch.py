@@ -305,6 +305,23 @@ def admm_solve_banded_batch(
     r = qp.J0.shape[2]
     r2 = qp.Jc.shape[2]
     m = qp.l.shape[1]
+    if scalings is not None and not (had_r and had_r2):
+        # Precomputed E was built on the UNPADDED sections; insert unit
+        # scalings for the inert rows _pad_sections added (zero Jacobian
+        # rows get _limit_scaling(0) = 1 from Ruiz too).
+        D_, E_, c_ = scalings
+        parts = [E_[:, :n]]
+        if had_r:
+            parts.append(E_[:, n : n + (N - 1) * r])
+            sc_off = n + (N - 1) * r
+        else:
+            parts.append(jnp.ones((E_.shape[0], N - 1), E_.dtype))
+            sc_off = n
+        if had_r2:
+            parts.append(E_[:, sc_off:])
+        else:
+            parts.append(jnp.ones((E_.shape[0], N), E_.dtype))
+        scalings = (D_, jnp.concatenate(parts, axis=1), c_)
 
     pad_b = (-B) % batch_tile
     if pad_b:

@@ -328,3 +328,20 @@ def test_scaling_refresh_tick_sqp_converges():
     assert np.isfinite(t_tick).all()
     np.testing.assert_allclose(o_tick, o_step, rtol=1e-2)
     np.testing.assert_allclose(t_tick, t_step, atol=5e-3)
+
+
+def test_precomputed_scalings_with_padded_sections():
+    """scalings path on a qp with r2=0 (driver pads an inert sc section):
+    unit scalings must be inserted for the padded rows."""
+    from optimal_control_problem_tpu.solvers.admm_banded_batch import (
+        ruiz_scalings_batch,
+    )
+
+    qp_b = stack_qps([random_stage_qp(s, r2=0) for s in range(3)])
+    ref = admm_solve_banded_batch(qp_b, SET)
+    sc = ruiz_scalings_batch(qp_b, SET.scaling_iters)
+    pre = admm_solve_banded_batch(qp_b, SET, scalings=sc)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(pre.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(pre.x), atol=1e-6, rtol=1e-5
+    )
