@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.banded_kernel import banded_admm_chunk
+from ..ops.banded_cr_kernel import banded_admm_chunk_cr, pick_cr_tile
 from ..ops.banded_rolled_kernel import banded_admm_chunk_rolled, pick_rolled_tile
 from ..ops.block_tridiag import btd_factor, btd_solve
 from .admm import ADMMSettings, QPSolution, _RHO_MAX, _RHO_MIN, f32_matmuls
@@ -253,10 +254,17 @@ def admm_solve_banded_batch(
     sigma = float(st.sigma)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    use_cr = st.banded_solver == "cr"
     if batch_tile is None:
         r_eff = max(qp.J0.shape[2], 1)
         r2_eff = max(qp.Jc.shape[2], 1)
-        if rolled:
+        if use_cr:
+            # banded_solver="cr": log-depth cyclic-reduction chunk kernel
+            # (ops/banded_cr_kernel.py) — the latency choice for long
+            # horizons where the Thomas sweeps' ~2N sequential block steps
+            # bound every ADMM iteration.
+            batch_tile = pick_cr_tile(B, N, w, r_eff, r2_eff)
+        elif rolled:
             batch_tile = pick_rolled_tile(B, N, w, r_eff, r2_eff)
         else:
             batch_tile = pick_batch_tile(B, N, w, r_eff, r2_eff)
@@ -285,9 +293,7 @@ def admm_solve_banded_batch(
         from .admm_banded import admm_solve_banded
 
         return jax.vmap(
-            lambda q_, x_, y_: admm_solve_banded(
-                q_, st.replace(banded_solver="thomas"), x0=x_, y0=y_
-            )
+            lambda q_, x_, y_: admm_solve_banded(q_, st, x0=x_, y0=y_)
         )(
             qp,
             jnp.zeros((B, n), dtype) if x0 is None else x0,
@@ -443,7 +449,11 @@ def admm_solve_banded_batch(
             "ld": ldT, "ud": udT, "rd": rdT_,
             "lc": lcT, "uc": ucT, "rc": rcT,
         }
-        chunk_fn = banded_admm_chunk_rolled if rolled else banded_admm_chunk
+        chunk_fn = (
+            banded_admm_chunk_cr if use_cr
+            else banded_admm_chunk_rolled if rolled
+            else banded_admm_chunk
+        )
         (xT2, yx2, yd2, yc2, zx2, zd2, zc2, kdone, it_inc,
          rp_k, rd_k, mp_k, md_k) = chunk_fn(
             it_b, stop.astype(jnp.int32),

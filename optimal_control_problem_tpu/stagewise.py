@@ -341,17 +341,40 @@ def build_stage_blocks(ss: StageStructure, dtype, hessian_reg="auto"):
 
 
 def _vmap_batch_last(fn, n_array_args, scalar_axes=()):
-    """vmap ``fn`` twice: trailing batch innermost, stage axis outermost.
+    """vmap ``fn`` over stage x batch FLATTENED into one trailing axis.
 
-    ``n_array_args``: number of leading array arguments that carry both a
-    stage axis (leading) and a batch axis (trailing).  ``scalar_axes``:
-    indices of extra args mapped over the stage axis only (e.g. ``k``).
+    Inputs: ``n_array_args`` leading arguments shaped ``(S, d, B)`` (stage
+    leading, batch trailing) plus ``scalar_axes`` extra args shaped
+    ``(S,)`` (per-stage scalars, e.g. ``k``).  The wrapper flattens stage
+    and batch into ONE trailing axis of size ``S * B`` and maps ``fn``
+    over it, so every per-stage intermediate is an ``(S*B,)``-lane array —
+    full 128-wide lanes even at small scenario batches (a batch-only
+    trailing axis leaves (128 - B) lanes idle at B < 128), then restores
+    ``(S, ..., B)`` on the outputs.
     """
-    in_b = tuple([-1] * n_array_args + [None] * len(scalar_axes))
-    in_s = tuple([0] * n_array_args + [0] * len(scalar_axes))
-    return jax.vmap(
-        jax.vmap(fn, in_axes=in_b, out_axes=-1), in_axes=in_s, out_axes=0
-    )
+
+    def to_flat(a):
+        # (S, d, B) -> (d, S*B)
+        return jnp.moveaxis(a, 0, -2).reshape(
+            a.shape[1:-1] + (a.shape[0] * a.shape[-1],)
+        )
+
+    in_ax = tuple([-1] * n_array_args + [0] * len(scalar_axes))
+    mapped = jax.vmap(fn, in_axes=in_ax, out_axes=-1)
+
+    def wrapper(*args):
+        arrays = args[:n_array_args]
+        scalars = args[n_array_args:]
+        S = arrays[0].shape[0]
+        B = arrays[0].shape[-1]
+        flat_arrays = [to_flat(a) for a in arrays]
+        flat_scalars = [jnp.repeat(s, B) for s in scalars]
+        out = mapped(*flat_arrays, *flat_scalars)  # (..., S*B)
+        return jnp.moveaxis(
+            out.reshape(out.shape[:-1] + (S, B)), -2, 0
+        )
+
+    return wrapper
 
 
 def _regularize_blocks_T(HbT, w, hessian_reg):

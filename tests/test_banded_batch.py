@@ -345,3 +345,66 @@ def test_precomputed_scalings_with_padded_sections():
     np.testing.assert_allclose(
         np.asarray(ref.x), np.asarray(pre.x), atol=1e-6, rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Cyclic-reduction chunk kernel (ops/banded_cr_kernel.py): log-depth solves
+# selected by banded_solver="cr" on the batch path.
+
+
+@pytest.mark.parametrize("adaptive", [True, False])
+def test_cr_kernel_matches_vmapped_reference_forced_budget(adaptive):
+    """CR kernel vs the vmapped XLA cr path over a forced budget: same
+    chunk/adaptation schedule, trajectories to fp noise."""
+    st = SET.replace(
+        adaptive_rho=adaptive, eps_abs=0.0, eps_rel=0.0, max_iter=100,
+        check_infeasibility=False, banded_solver="cr",
+    )
+    qp_b = stack_qps([random_stage_qp(s) for s in range(4)])
+    ref = vmapped_ref(qp_b, st)
+    bat = admm_solve_banded_batch(qp_b, st)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(bat.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(bat.x), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_cr_kernel_matches_thomas_solutions():
+    """Converged solutions agree across the CR and Thomas kernel variants
+    at the solver tolerance (different algorithms, same fixed point)."""
+    st_cr = SET.replace(banded_solver="cr")
+    qp_b = stack_qps([random_stage_qp(s + 3) for s in range(4)])
+    a = admm_solve_banded_batch(qp_b, SET)
+    b = admm_solve_banded_batch(qp_b, st_cr)
+    assert bool(np.all(np.asarray(b.converged)))
+    np.testing.assert_allclose(
+        np.asarray(a.x), np.asarray(b.x), atol=5e-3, rtol=1e-2
+    )
+
+
+def test_cr_kernel_warm_start_and_no_sc_section():
+    st_cr = SET.replace(banded_solver="cr")
+    qp_b = stack_qps([random_stage_qp(s + 10, r2=0) for s in range(3)])
+    n = qp_b.q.shape[1]
+    m = qp_b.l.shape[1]
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(3, n)) * 0.1, jnp.float32)
+    y0 = jnp.asarray(rng.normal(size=(3, m)) * 0.1, jnp.float32)
+    ref = vmapped_ref(qp_b, st_cr, x0, y0)
+    bat = admm_solve_banded_batch(qp_b, st_cr, x0=x0, y0=y0)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(bat.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(bat.x), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_cr_kernel_odd_horizon_padding():
+    """N=7 exercises the per-level odd padding (7 -> 8 -> 4 -> 2 -> 1)."""
+    st_cr = SET.replace(banded_solver="cr")
+    qp_b = stack_qps([random_stage_qp(s, N=7) for s in range(3)])
+    ref = vmapped_ref(qp_b, st_cr)
+    bat = admm_solve_banded_batch(qp_b, st_cr)
+    np.testing.assert_array_equal(np.asarray(ref.iters), np.asarray(bat.iters))
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(bat.x), atol=5e-4, rtol=1e-3
+    )
