@@ -331,39 +331,47 @@ def main():
         )
 
     if "quadrotor" in which:
-        B_q = min(B_nl, 64)  # n=1600: per-scenario operators are large
-        frames = np.tile(quadrotor.initial_state()[None, :], (B_q, 1)).astype(
-            np.float32
-        )
-        frames[:, 0:2] += rng.uniform(-0.5, 0.5, (B_q, 2)).astype(np.float32)
-        refs = np.tile(
-            quadrotor.reference_hover(100)[None, :], (B_q, 1)
-        ).astype(np.float32)
-        bench_model(
-            "quadrotor_h100_banded",
-            lambda: quadrotor.build(
-                quadrotor.make_config(
-                    horizon=100,
-                    dt=0.02,
-                    alpha=0.3,
-                    step_num=5,
-                    formulation="reduced",
-                    # Tuned fixed rho beats adaptive here (docs/TUNING.md
-                    # section 4b); 1,503 solves/s in round 3.
-                    ADMM_settings={
-                        "method": "banded",
-                        "max_iter": 250,
-                        "adaptive_rho": False,
-                        "rho": 0.05,
-                    },
+        quad_admm = {
+            "method": "banded",
+            "max_iter": 250,
+            # Tuned fixed rho beats adaptive here (docs/TUNING.md 4b).
+            "adaptive_rho": False,
+            "rho": 0.05,
+            # Warm-started QPs pass the first residual check; finer
+            # blocks stop ~20 iterations earlier per SQP step (round 4).
+            "check_every": 5,
+            # Equilibrate once per tick, reuse across SQP steps
+            # (ADMMSettings.scaling_refresh; round 4).
+            "scaling_refresh": "tick",
+        }
+        for B_q in (64, 128):
+            frames = np.tile(
+                quadrotor.initial_state()[None, :], (B_q, 1)
+            ).astype(np.float32)
+            frames[:, 0:2] += rng.uniform(-0.5, 0.5, (B_q, 2)).astype(
+                np.float32
+            )
+            refs = np.tile(
+                quadrotor.reference_hover(100)[None, :], (B_q, 1)
+            ).astype(np.float32)
+            bench_model(
+                f"quadrotor_h100_banded_B{B_q}",
+                lambda: quadrotor.build(
+                    quadrotor.make_config(
+                        horizon=100,
+                        dt=0.02,
+                        alpha=0.3,
+                        step_num=5,
+                        formulation="reduced",
+                        ADMM_settings=dict(quad_admm),
+                    ),
+                    stagewise=True,
                 ),
-                stagewise=True,
-            ),
-            frames,
-            refs,
-            B_q,
-            ticks,
-        )
+                frames,
+                refs,
+                B_q,
+                ticks,
+            )
 
 
 if __name__ == "__main__":

@@ -168,15 +168,15 @@ def _kernel(
     # reshape-based de-interleave.  Block transposes are never computed —
     # the factor keeps an explicitly-assembled transposed-L workspace.
     def bmm(a, b):
-        """(m, w, w, Bt) @ (m, w, w, Bt): rows from scalar x row products."""
-        rows = []
-        for i in range(w):
-            acc = None
-            for j in range(w):
-                t = a[:, i : i + 1, j : j + 1, :] * b[:, j : j + 1, :, :]
-                acc = t if acc is None else acc + t
-            rows.append(acc)  # (m, 1, w, Bt)
-        return jnp.concatenate(rows, axis=1)
+        """(m, w, w, Bt) @ (m, w, w, Bt): w column x row broadcast terms
+        (the col x row MULTIPLY broadcast is a proven-safe pattern — the
+        crashes were thin columns meeting FULL-shaped operands in binary
+        ops, and sublane-axis concats)."""
+        acc = None
+        for j in range(w):
+            t = a[:, :, j : j + 1, :] * b[:, j : j + 1, :, :]
+            acc = t if acc is None else acc + t
+        return acc
 
     def bmv(a, v):
         """(m, w, w, Bt) @ (m, w, Bt) -> (m, w, Bt): row-dot via an
@@ -228,12 +228,16 @@ def _kernel(
     Bt = q_ref.shape[-1]
 
     def dma_hb_into_dw():
-        i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            hb_ref.at[:, :, :, pl.ds(i * Bt, Bt)],
-            dw_ref.at[0:N],
-            hb_sem,
-        )
+        if hb_ref.shape[-1] == Bt:
+            # Single-tile grid: whole-array copy (a lane slice narrower
+            # than the 128-lane tiling is rejected by Mosaic; tiles from
+            # pick_cr_tile are otherwise 128-multiples, so the sliced
+            # path below stays aligned).
+            src = hb_ref
+        else:
+            i = pl.program_id(0)
+            src = hb_ref.at[:, :, :, pl.ds(i * Bt, Bt)]
+        cp = pltpu.make_async_copy(src, dw_ref.at[0:N], hb_sem)
         cp.start()
         cp.wait()
 
@@ -317,7 +321,11 @@ def _kernel(
             # first survivor of this group needs the previous group's
             # last odd inverse (read back from the packed ref).
             if g0 == 0:
-                prev = zero_b1
+                # Runtime zero (a CONSTANT zero block feeding the bmm
+                # chain crashes the Mosaic compiler — bisected:
+                # ``Check failed: limits[i] <= dim(i)`` from const
+                # folding; dinv_ref[off_d] was just written above).
+                prev = dinv_ref[off_d : off_d + 1] * 0.0
             else:
                 prev = dinv_ref[off_d + g0 - 1 : off_d + g0]
             # (gc can be 1 at the deepest levels; Mosaic rejects the
@@ -417,41 +425,100 @@ def _kernel(
     # ---- CR solve: log-depth down/up sweeps ----------------------------
     zero_v1 = jnp.zeros((1, w, Bt), dtype)
 
+    def _level_groups(half):
+        return [
+            (g0, min(g0 + GROUP, half)) for g0 in range(0, half, GROUP)
+        ]
+
     def cr_solve(rhs):
         b = rhs
+        # Runtime zeros only — constant zero blocks in the block-op
+        # chains crash the Mosaic compiler (see the factor's `prev`).
+        zv = rhs[0:1] * 0.0  # (1, w, Bt)
+        zb = L_ref[0:1] * 0.0  # (1, w, w, Bt)
         odds = []
         for (n, n_p, half, off_d, off_L) in levels:
             if n_p != n:
-                b = jnp.concatenate([b, zero_v1], axis=0)
+                b = jnp.concatenate([b, zv], axis=0)
             br = b.reshape(half, 2, w, Bt)
             b_even, b_odd = br[:, 0], br[:, 1]
-            dinv_odd = dinv_ref[off_d : off_d + half]
-            L_g = L_ref[off_L : off_L + n_p].reshape(half, 2, w, w, Bt)
-            L_lo, L_odd = L_g[:, 0], L_g[:, 1]
-            t_odd = bmv(dinv_odd, b_odd)
-            if half > 1:
-                t_lo = jnp.concatenate([zero_v1, t_odd[:-1]], axis=0)
-            else:
-                t_lo = zero_v1
-            b = b_even - bmv(L_lo, t_lo) - bmv_t(L_odd, t_odd)
+            # Grouped over survivors so only GROUP-sized slices of the
+            # level's block arrays are ever live (whole-level values at
+            # h100 level 0 are 13+ MB each and blew the VMEM high-water).
+            parts = []
+            t_last = zv
+            for g0, g1 in _level_groups(half):
+                gc = g1 - g0
+                dinv_g = dinv_ref[off_d + g0 : off_d + g1]
+                L_g = L_ref[
+                    off_L + 2 * g0 : off_L + 2 * g1
+                ].reshape(gc, 2, w, w, Bt)
+                L_lo, L_odd = L_g[:, 0], L_g[:, 1]
+                t_odd = bmv(dinv_g, b_odd[g0:g1])
+                if gc > 1:
+                    t_lo = jnp.concatenate([t_last, t_odd[:-1]], axis=0)
+                else:
+                    t_lo = t_last
+                parts.append(
+                    b_even[g0:g1] - bmv(L_lo, t_lo) - bmv_t(L_odd, t_odd)
+                )
+                t_last = t_odd[gc - 1 : gc]
+            b = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=0
+            )
             odds.append(b_odd)
         x = bmv(dinv_ref[root_slot : root_slot + 1], b)  # (1, w, Bt)
         for (n, n_p, half, off_d, off_L), b_odd in zip(
             reversed(levels), reversed(odds)
         ):
-            dinv_odd = dinv_ref[off_d : off_d + half]
-            L_g = L_ref[off_L : off_L + n_p].reshape(half, 2, w, w, Bt)
-            L_lo, L_odd = L_g[:, 0], L_g[:, 1]
             x_even = x
-            if half > 1:
-                x_hi = jnp.concatenate([x_even[1:], zero_v1], axis=0)
-                L_next = jnp.concatenate([L_lo[1:], zero_b1], axis=0)
-            else:
-                x_hi = zero_v1
-                L_next = zero_b1
-            rhs_o = b_odd - bmv(L_odd, x_even) - bmv_t(L_next, x_hi)
-            x_odd = bmv(dinv_odd, rhs_o)
-            x = jnp.stack([x_even, x_odd], axis=1).reshape(n_p, w, Bt)[:n]
+            parts = []
+            for g0, g1 in _level_groups(half):
+                gc = g1 - g0
+                dinv_g = dinv_ref[off_d + g0 : off_d + g1]
+                L_g = L_ref[
+                    off_L + 2 * g0 : off_L + 2 * g1
+                ].reshape(gc, 2, w, w, Bt)
+                L_lo, L_odd = L_g[:, 0], L_g[:, 1]
+                # x above each odd: survivor g0+i+1 (zero past the end);
+                # its coupling L_next = L_lo[g0+i+1].
+                if g1 < half:
+                    x_hi = x_even[g0 + 1 : g1 + 1]
+                    L_next = L_ref[
+                        off_L + 2 * g0 + 2 : off_L + 2 * g1 + 2 : 1
+                    ].reshape(gc, 2, w, w, Bt)[:, 0]
+                elif gc > 1:
+                    x_hi = jnp.concatenate(
+                        [x_even[g0 + 1 : g1], zv], axis=0
+                    )
+                    L_next = jnp.concatenate(
+                        [
+                            L_ref[
+                                off_L + 2 * g0 + 2 : off_L + 2 * g1
+                            ].reshape(gc - 1, 2, w, w, Bt)[:, 0],
+                            zb,
+                        ],
+                        axis=0,
+                    )
+                else:
+                    x_hi = zv
+                    L_next = zb
+                rhs_o = (
+                    b_odd[g0:g1]
+                    - bmv(L_odd, x_even[g0:g1])
+                    - bmv_t(L_next, x_hi)
+                )
+                x_odd = bmv(dinv_g, rhs_o)
+                parts.append(
+                    jnp.stack([x_even[g0:g1], x_odd], axis=1).reshape(
+                        2 * gc, w, Bt
+                    )
+                )
+            x = (
+                parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0
+                )
+            )[:n]
         return x
 
     def one_iter(_, c):

@@ -264,6 +264,11 @@ def admm_solve_banded_batch(
             # horizons where the Thomas sweeps' ~2N sequential block steps
             # bound every ADMM iteration.
             batch_tile = pick_cr_tile(B, N, w, r_eff, r2_eff)
+            if batch_tile is not None and not interpret and batch_tile < 128:
+                # The kernel's HBM->VMEM Hb DMA needs 128-aligned lanes;
+                # padding the batch to a full lane tile is physically free
+                # (lanes pad to 128 regardless) — padded rows enter frozen.
+                batch_tile = 128
         elif rolled:
             batch_tile = pick_rolled_tile(B, N, w, r_eff, r2_eff)
         else:
