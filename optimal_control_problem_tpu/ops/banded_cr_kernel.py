@@ -130,7 +130,8 @@ def _kernel(
     xo_ref, yxo_ref, ydo_ref, yco_ref, zxo_ref, zdo_ref, zco_ref,
     done_o_ref, it_o_ref, rp_o_ref, rd_o_ref, mp_o_ref, md_o_ref,
     # scratch
-    s_ref,  # (N, w, Bt) rhs/solution workspace (kept for parity; small)
+    s_ref,  # (N(+1), w, Bt) rhs/solution workspace, front-packed per level
+    s2_ref,  # (nd_slots, w, Bt) folded odd rhs, packed at the dinv offsets
     dw_ref,  # (N(+1), w, w, Bt) working diagonals, shrinking per level
     dinv_ref,  # (nd_slots + 1, w, w, Bt) packed odd-pivot inverses + root
     L_ref,  # (nl_slots, w, w, Bt) packed per-level subdiagonals
@@ -304,30 +305,33 @@ def _kernel(
         if half > 1:
             off_L2 = off_L + n_p
             n_p2 = half + (half % 2)
-        for g0 in range(0, half, GROUP):
-            g1 = min(g0 + GROUP, half)
-            gc = g1 - g0
-            d_g = dw_ref[2 * g0 : 2 * g1].reshape(gc, 2, w, w, Bt)
+        def fact_group(g0, gc, is_first):
+            """One survivor group; ``g0`` may be a TRACED offset (the
+            middle full-size groups run under a fori_loop so the spill
+            slots of one body are shared — the unrolled form was ~111 MB
+            of Mosaic register spills at h100), ``gc``/``is_first`` are
+            static."""
+            d_g = dw_ref[pl.ds(2 * g0, 2 * gc)].reshape(gc, 2, w, w, Bt)
             d_even, d_odd = d_g[:, 0], d_g[:, 1]
-            L_g = L_ref[off_L + 2 * g0 : off_L + 2 * g1].reshape(
+            L_g = L_ref[pl.ds(off_L + 2 * g0, 2 * gc)].reshape(
                 gc, 2, w, w, Bt
             )
             L_lo, L_odd = L_g[:, 0], L_g[:, 1]
-            LT_g = lt_ref[2 * g0 : 2 * g1].reshape(gc, 2, w, w, Bt)
+            LT_g = lt_ref[pl.ds(2 * g0, 2 * gc)].reshape(gc, 2, w, w, Bt)
             LT_lo, LT_odd = LT_g[:, 0], LT_g[:, 1]
             dinv_odd = spd_inv_arr(d_odd)
-            dinv_ref[off_d + g0 : off_d + g1] = dinv_odd
+            dinv_ref[pl.ds(off_d + g0, gc)] = dinv_odd
             # dinv of the odd BELOW each survivor: shifted by one; the
             # first survivor of this group needs the previous group's
             # last odd inverse (read back from the packed ref).
-            if g0 == 0:
+            if is_first:
                 # Runtime zero (a CONSTANT zero block feeding the bmm
                 # chain crashes the Mosaic compiler — bisected:
                 # ``Check failed: limits[i] <= dim(i)`` from const
                 # folding; dinv_ref[off_d] was just written above).
                 prev = dinv_ref[off_d : off_d + 1] * 0.0
             else:
-                prev = dinv_ref[off_d + g0 - 1 : off_d + g0]
+                prev = dinv_ref[pl.ds(off_d + g0 - 1, 1)]
             # (gc can be 1 at the deepest levels; Mosaic rejects the
             # zero-size slice a blind [:-1] concat would create.)
             if gc > 1:
@@ -343,25 +347,25 @@ def _kernel(
                 - bmm(G_lo, LT_lo)
                 - bmm(bmm(LT_odd, dinv_odd), L_odd)
             )
-            dw_ref[g0:g1] = new_d
+            dw_ref[pl.ds(g0, gc)] = new_d
             if half > 1:
                 # Next-level L rows i: L'[i] = -G_lo[i] @ L_odd[i-1]; the
                 # transpose L'^T[i] = -LT_odd[i-1] @ G_lo^T[i] with
                 # G_lo^T = dinv_lo @ LT_lo (dinv symmetric).
                 G_loT = bmm(dinv_lo, LT_lo)
-                if g0 == 0:
+                if is_first:
                     L_ref[off_L2 : off_L2 + 1] = zero_b1
-                    lt_ref[g0 : g0 + 1] = zero_b1
+                    lt_ref[0:1] = zero_b1
                     if gc > 1:
-                        L_ref[off_L2 + 1 : off_L2 + g1] = -bmm(
+                        L_ref[off_L2 + 1 : off_L2 + gc] = -bmm(
                             G_lo[1:], L_odd[:-1]
                         )
-                        lt_ref[g0 + 1 : g1] = -bmm(LT_odd[:-1], G_loT[1:])
+                        lt_ref[1:gc] = -bmm(LT_odd[:-1], G_loT[1:])
                 else:
                     lo_prev = L_ref[
-                        off_L + 2 * g0 - 1 : off_L + 2 * g0
+                        pl.ds(off_L + 2 * g0 - 1, 1)
                     ]  # L_odd of previous group's last survivor
-                    lt_prev = lt_ref[2 * g0 - 1 : 2 * g0]
+                    lt_prev = lt_ref[pl.ds(2 * g0 - 1, 1)]
                     if gc > 1:
                         L_odd_sh = jnp.concatenate(
                             [lo_prev, L_odd[:-1]], axis=0
@@ -372,8 +376,19 @@ def _kernel(
                     else:
                         L_odd_sh = lo_prev
                         LT_odd_sh = lt_prev
-                    L_ref[off_L2 + g0 : off_L2 + g1] = -bmm(G_lo, L_odd_sh)
-                    lt_ref[g0:g1] = -bmm(LT_odd_sh, G_loT)
+                    L_ref[pl.ds(off_L2 + g0, gc)] = -bmm(G_lo, L_odd_sh)
+                    lt_ref[pl.ds(g0, gc)] = -bmm(LT_odd_sh, G_loT)
+
+        first = min(GROUP, half)
+        fact_group(0, first, True)
+        full = half // GROUP
+        rem = half % GROUP
+        if full > 1:
+            jax.lax.fori_loop(
+                1, full, lambda g, _: (fact_group(g * GROUP, GROUP, False), 0)[1], 0
+            )
+        if full >= 1 and rem > 0:
+            fact_group(full * GROUP, rem, False)
         if half > 1 and n_p2 != half:
             L_ref[off_L2 + half : off_L2 + n_p2] = jnp.zeros(
                 (n_p2 - half, w, w, Bt), dtype
@@ -425,76 +440,86 @@ def _kernel(
     # ---- CR solve: log-depth down/up sweeps ----------------------------
     zero_v1 = jnp.zeros((1, w, Bt), dtype)
 
-    def _level_groups(half):
-        return [
-            (g0, min(g0 + GROUP, half)) for g0 in range(0, half, GROUP)
-        ]
-
     def cr_solve(rhs):
-        b = rhs
+        # The rhs/solution lives in s_ref (front-packed per level) and the
+        # folded odd rhs in s2_ref (packed at the dinv offsets); group
+        # bodies use dynamic ref offsets so the middle groups run under a
+        # fori_loop — one spill footprint per level instead of per group
+        # (the unrolled form was the other half of the 111 MB of Mosaic
+        # register spills at h100).
+        #
         # Runtime zeros only — constant zero blocks in the block-op
         # chains crash the Mosaic compiler (see the factor's `prev`).
         zv = rhs[0:1] * 0.0  # (1, w, Bt)
         zb = L_ref[0:1] * 0.0  # (1, w, w, Bt)
-        odds = []
+        s_ref[0:N] = rhs
         for (n, n_p, half, off_d, off_L) in levels:
             if n_p != n:
-                b = jnp.concatenate([b, zv], axis=0)
-            br = b.reshape(half, 2, w, Bt)
-            b_even, b_odd = br[:, 0], br[:, 1]
-            # Grouped over survivors so only GROUP-sized slices of the
-            # level's block arrays are ever live (whole-level values at
-            # h100 level 0 are 13+ MB each and blew the VMEM high-water).
-            parts = []
-            t_last = zv
-            for g0, g1 in _level_groups(half):
-                gc = g1 - g0
-                dinv_g = dinv_ref[off_d + g0 : off_d + g1]
-                L_g = L_ref[
-                    off_L + 2 * g0 : off_L + 2 * g1
-                ].reshape(gc, 2, w, w, Bt)
+                s_ref[n:n_p] = zv
+
+            def down_group(g0, gc, t_last):
+                b_g = s_ref[pl.ds(2 * g0, 2 * gc)].reshape(gc, 2, w, Bt)
+                b_even, b_odd = b_g[:, 0], b_g[:, 1]
+                dinv_g = dinv_ref[pl.ds(off_d + g0, gc)]
+                L_g = L_ref[pl.ds(off_L + 2 * g0, 2 * gc)].reshape(
+                    gc, 2, w, w, Bt
+                )
                 L_lo, L_odd = L_g[:, 0], L_g[:, 1]
-                t_odd = bmv(dinv_g, b_odd[g0:g1])
+                t_odd = bmv(dinv_g, b_odd)
                 if gc > 1:
                     t_lo = jnp.concatenate([t_last, t_odd[:-1]], axis=0)
                 else:
                     t_lo = t_last
-                parts.append(
-                    b_even[g0:g1] - bmv(L_lo, t_lo) - bmv_t(L_odd, t_odd)
+                s2_ref[pl.ds(off_d + g0, gc)] = b_odd
+                s_ref[pl.ds(g0, gc)] = (
+                    b_even - bmv(L_lo, t_lo) - bmv_t(L_odd, t_odd)
                 )
-                t_last = t_odd[gc - 1 : gc]
-            b = parts[0] if len(parts) == 1 else jnp.concatenate(
-                parts, axis=0
-            )
-            odds.append(b_odd)
-        x = bmv(dinv_ref[root_slot : root_slot + 1], b)  # (1, w, Bt)
-        for (n, n_p, half, off_d, off_L), b_odd in zip(
-            reversed(levels), reversed(odds)
-        ):
-            x_even = x
-            parts = []
-            for g0, g1 in _level_groups(half):
-                gc = g1 - g0
-                dinv_g = dinv_ref[off_d + g0 : off_d + g1]
-                L_g = L_ref[
-                    off_L + 2 * g0 : off_L + 2 * g1
-                ].reshape(gc, 2, w, w, Bt)
-                L_lo, L_odd = L_g[:, 0], L_g[:, 1]
-                # x above each odd: survivor g0+i+1 (zero past the end);
-                # its coupling L_next = L_lo[g0+i+1].
-                if g1 < half:
-                    x_hi = x_even[g0 + 1 : g1 + 1]
+                return t_odd[gc - 1 : gc]
+
+            first = min(GROUP, half)
+            t_last = down_group(0, first, zv)
+            full = half // GROUP
+            rem = half % GROUP
+            if full > 1:
+                t_last = jax.lax.fori_loop(
+                    1, full,
+                    lambda g, t: down_group(g * GROUP, GROUP, t),
+                    t_last,
+                )
+            if full >= 1 and rem > 0:
+                down_group(full * GROUP, rem, t_last)
+        s_ref[0:1] = bmv(
+            dinv_ref[root_slot : root_slot + 1], s_ref[0:1]
+        )
+        for (n, n_p, half, off_d, off_L) in reversed(levels):
+
+            def up_group(g0, gc, is_top):
+                # All reads precede the interleaved write; groups run
+                # HIGH to LOW so positions [2*g0, 2*g1) are written only
+                # after every read at index < 2*g0 is done.
+                x_even_g = s_ref[pl.ds(g0, gc)]
+                dinv_g = dinv_ref[pl.ds(off_d + g0, gc)]
+                L_g = L_ref[pl.ds(off_L + 2 * g0, 2 * gc)].reshape(
+                    gc, 2, w, w, Bt
+                )
+                L_odd = L_g[:, 1]
+                if not is_top:
+                    x_b = s_ref[pl.ds(g0 + gc, 1)]
+                    if gc > 1:
+                        x_hi = jnp.concatenate(
+                            [x_even_g[1:], x_b], axis=0
+                        )
+                    else:
+                        x_hi = x_b
                     L_next = L_ref[
-                        off_L + 2 * g0 + 2 : off_L + 2 * g1 + 2 : 1
+                        pl.ds(off_L + 2 * g0 + 2, 2 * gc)
                     ].reshape(gc, 2, w, w, Bt)[:, 0]
                 elif gc > 1:
-                    x_hi = jnp.concatenate(
-                        [x_even[g0 + 1 : g1], zv], axis=0
-                    )
+                    x_hi = jnp.concatenate([x_even_g[1:], zv], axis=0)
                     L_next = jnp.concatenate(
                         [
                             L_ref[
-                                off_L + 2 * g0 + 2 : off_L + 2 * g1
+                                pl.ds(off_L + 2 * g0 + 2, 2 * (gc - 1))
                             ].reshape(gc - 1, 2, w, w, Bt)[:, 0],
                             zb,
                         ],
@@ -503,23 +528,32 @@ def _kernel(
                 else:
                     x_hi = zv
                     L_next = zb
+                b_odd = s2_ref[pl.ds(off_d + g0, gc)]
                 rhs_o = (
-                    b_odd[g0:g1]
-                    - bmv(L_odd, x_even[g0:g1])
+                    b_odd
+                    - bmv(L_odd, x_even_g)
                     - bmv_t(L_next, x_hi)
                 )
                 x_odd = bmv(dinv_g, rhs_o)
-                parts.append(
-                    jnp.stack([x_even[g0:g1], x_odd], axis=1).reshape(
-                        2 * gc, w, Bt
-                    )
+                s_ref[pl.ds(2 * g0, 2 * gc)] = jnp.stack(
+                    [x_even_g, x_odd], axis=1
+                ).reshape(2 * gc, w, Bt)
+
+            ngroups = -(-half // GROUP)
+            g0_top = (ngroups - 1) * GROUP
+            up_group(g0_top, half - g0_top, True)
+            if ngroups > 2:
+                jax.lax.fori_loop(
+                    0, ngroups - 2,
+                    lambda j, _: (
+                        up_group((ngroups - 2 - j) * GROUP, GROUP, False),
+                        0,
+                    )[1],
+                    0,
                 )
-            x = (
-                parts[0] if len(parts) == 1 else jnp.concatenate(
-                    parts, axis=0
-                )
-            )[:n]
-        return x
+            if ngroups > 1:
+                up_group(0, GROUP, False)
+        return s_ref[0:N]
 
     def one_iter(_, c):
         x, zx, zd, zc, yx, yd, yc = c
@@ -728,8 +762,9 @@ def banded_admm_chunk_cr(
         out_specs=tuple(spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
                         for s in out_shapes),
         scratch_shapes=[
-            pltpu.VMEM((N, w) + (batch_tile,), dtype),  # s (rhs rows)
             # +1 slot when level 0 pads an odd horizon to even
+            pltpu.VMEM((N + (N % 2), w, batch_tile), dtype),  # s (rhs rows)
+            pltpu.VMEM((nd_slots, w, batch_tile), dtype),  # s2 (odd rhs)
             pltpu.VMEM((N + (N % 2), w, w, batch_tile), dtype),  # dw
             pltpu.VMEM((nd_slots + 1, w, w, batch_tile), dtype),  # dinv
             pltpu.VMEM((nl_slots, w, w, batch_tile), dtype),  # L
