@@ -69,20 +69,31 @@ def main():
                     adaptive_rho=False, check_infeasibility=False,
                     scaling_iters=3,
                 )
+                # Chain reps by a data dependency and end each window
+                # with a host read: on the relay backend a bare
+                # block_until_ready on an unchained result returns
+                # early, which produced physically impossible timings.
                 fn = jax.jit(
-                    jax.vmap(lambda q_: admm_solve_banded(q_, st).x)
+                    jax.vmap(
+                        lambda q_, b_: admm_solve_banded(
+                            q_._replace(q=q_.q + 0.0 * b_), st
+                        ).x
+                    )
                 )
-                out = fn(qp_b)
-                jax.block_until_ready(out)
-                best = float("inf")
+                carry = jnp.zeros_like(qp_b.q)
+                carry = fn(qp_b, carry)
+                float(jnp.sum(carry))
+                times = []
                 reps = 3
                 for _ in range(3):
                     t0 = time.perf_counter()
                     for _ in range(reps):
-                        out = fn(qp_b)
-                    jax.block_until_ready(out)
-                    best = min(best, (time.perf_counter() - t0) / reps)
-                row[f"{solver}_ms"] = round(best * 1e3, 3)
+                        carry = fn(qp_b, carry)
+                    float(jnp.sum(carry))
+                    times.append((time.perf_counter() - t0) / reps)
+                row[f"{solver}_ms"] = round(
+                    float(np.median(times)) * 1e3, 3
+                )
             row["winner"] = (
                 "thomas" if row["thomas_ms"] <= row["cr_ms"] else "cr"
             )
