@@ -753,7 +753,7 @@ def banded_admm_chunk_cr(
     in_specs = [spec(a) for a in inputs]
     # Hb (input index 2) stays in HBM/ANY, whole-array: the kernel DMAs
     # the tile slice into its dw scratch (see _kernel docstring).
-    in_specs[2] = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs[2] = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

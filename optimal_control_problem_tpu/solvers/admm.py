@@ -167,6 +167,18 @@ class ADMMSettings:
     eps_prim_inf: float = 1e-4
     eps_dual_inf: float = 1e-4
 
+    def __post_init__(self):
+        if self.scaling_refresh not in ("step", "tick"):
+            raise ValueError(
+                f"scaling_refresh must be 'step' or 'tick', got "
+                f"{self.scaling_refresh!r}"
+            )
+        if self.banded_solver not in ("thomas", "cr"):
+            raise ValueError(
+                f"banded_solver must be 'thomas' or 'cr', got "
+                f"{self.banded_solver!r}"
+            )
+
     def replace(self, **kw) -> "ADMMSettings":
         return dataclasses.replace(self, **kw)
 

@@ -292,6 +292,12 @@ def admm_solve_banded_batch(
             f"batch_tile={batch_tile} must be a multiple of 128 or >= the "
             f"batch ({B}) on real TPU"
         )
+    elif use_cr and not interpret and batch_tile < 128:
+        # Same 128-lane rounding as the auto path: the CR kernel's
+        # HBM->VMEM Hb DMA needs 128-aligned lane slices; a smaller
+        # explicit tile would hit a Mosaic compile failure.  Padding is
+        # physically free (lanes pad to 128 regardless).
+        batch_tile = 128
     if batch_tile is None:
         # Working set does not fit in VMEM at any lane-aligned tile:
         # fall back to the vmapped XLA loop (same semantics).

@@ -247,6 +247,49 @@ def test_merit_line_search_accelerates_nonlinear():
     assert f_merit < f_fixed
 
 
+def test_merit_converges_where_full_fixed_step_diverges():
+    """The classic Newton-divergence case f(x) = sqrt(1+(x-2)^2): the
+    Newton step is -(x-2)(1+(x-2)^2), so from the zero start (arg["x0"]
+    is ignored — the reference quirk) a FULL fixed step (alpha=1)
+    overshoots to 10 and then ping-pongs between the box bounds, while
+    the merit line search (VERDICT r4 item 7) damps the step and
+    converges to the optimum at 2."""
+    x = S.sym("x", 1)
+    nlp = {"x": x, "f": (1.0 + (x[0] - 2.0) ** 2) ** 0.5}
+    arg = arg_of([-100.0], [100.0])
+
+    fixed = make_solver(nlp, "augmented", alpha=1.0, max_iter=12,
+                        hessian_reg=0.0)
+    res_fixed = fixed.get_optimal_solution(arg)
+    merit = make_solver(
+        nlp, "augmented", alpha=1.0, max_iter=12, hessian_reg=0.0,
+        line_search="merit", ls_num=8, ls_alpha_max=1.0,
+    )
+    res_merit = merit.get_optimal_solution(arg)
+
+    assert abs(np.asarray(res_fixed["x"])[0] - 2.0) > 50.0  # ping-pong
+    assert abs(np.asarray(res_merit["x"])[0] - 2.0) < 1e-2  # converged
+
+
+def test_line_search_none_bit_identical():
+    """line_search='none' must stay BIT-identical to a solver built without
+    any line-search fields set (the merit machinery is strictly opt-in and
+    may not perturb the reference update path)."""
+    x = S.sym("x", 2)
+    nlp = {"x": x, "f": (x[0] - 1.0) ** 2 + x[0] * x[1] + x[1] ** 2,
+           "g": x[0] + 2.0 * x[1] - 0.5}
+    arg = arg_of([-5, -5], [5, 5], [0.0], [0.0])
+    base = make_solver(nlp, "augmented", alpha=0.1, max_iter=6)
+    explicit = make_solver(
+        nlp, "augmented", alpha=0.1, max_iter=6,
+        line_search="none", ls_num=4, ls_alpha_max=0.7, ls_merit_mu=3.0,
+    )
+    rb = base.get_optimal_solution(arg)
+    re = explicit.get_optimal_solution(arg)
+    np.testing.assert_array_equal(np.asarray(rb["x"]), np.asarray(re["x"]))
+    np.testing.assert_array_equal(np.asarray(rb["f"]), np.asarray(re["f"]))
+
+
 def test_merit_line_search_rejects_unknown_rule():
     from optimal_control_problem_tpu.models import double_integrator as di
 
