@@ -1,0 +1,48 @@
+"""Quadrotor h100 BABE (two-way) rolled kernel: the round-5 bench configs."""
+import time
+import numpy as np
+import jax
+
+from optimal_control_problem_tpu.models import quadrotor
+from optimal_control_problem_tpu.parallel import BatchedSolver
+from optimal_control_problem_tpu.utils.serialization import enable_compilation_cache
+
+enable_compilation_cache()
+
+rng = np.random.default_rng(0)
+
+
+def run(name, B, ticks=20, **admm_over):
+    admm = {"method": "banded", "max_iter": 250,
+            "adaptive_rho": False, "rho": 0.05, "check_every": 5,
+            "scaling_refresh": "tick"}
+    admm.update(admm_over)
+    cfg = quadrotor.make_config(
+        horizon=100, dt=0.02, alpha=0.3, step_num=5,
+        formulation="reduced", ADMM_settings=admm,
+    )
+    b = BatchedSolver(quadrotor.build(cfg, stagewise=True))
+    frames = np.tile(quadrotor.initial_state()[None, :], (B, 1)).astype(np.float32)
+    frames[:, 0:2] += rng.uniform(-0.5, 0.5, (B, 2)).astype(np.float32)
+    refs = np.tile(quadrotor.reference_hover(100)[None, :], (B, 1)).astype(np.float32)
+    state = b.init_state(B)
+    for _ in range(3):
+        trajs, objs, state = b.solve(frames, refs, state)
+    jax.block_until_ready(trajs)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ticks):
+            trajs, objs, state = b.solve(frames, refs, state)
+        jax.block_until_ready(trajs)
+        times.append(time.perf_counter() - t0)
+    per_tick = float(np.median(times)) / ticks
+    ql = np.asarray(b.last_result.qp_iters)
+    ok = bool(np.isfinite(np.asarray(trajs)).all())
+    print(f"{name}: {per_tick*1e3:.2f} ms/tick ({B/per_tick:.0f}/s) "
+          f"qp_iters {np.mean(ql):.1f} finite={ok}", flush=True)
+
+
+run("B=8   babe", 8, ticks=50)
+run("B=64  babe", 64)
+run("B=128 babe", 128)

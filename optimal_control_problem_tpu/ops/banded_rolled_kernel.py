@@ -4,12 +4,25 @@ Same algorithm, layouts, and driver contract as :mod:`.banded_kernel` —
 one rho-constant ADMM chunk, batch-LAST ``(N, w, w, B)`` blocks, per-scenario
 OSQP termination — but with the horizon loops ROLLED:
 
-* the block-Thomas factorization and the per-iteration forward/backward
-  sweeps are ``lax.fori_loop``s over stages with ``pl.ds`` dynamic ref
-  slices, instead of Python-unrolled chains over ``range(N)``;
+* the block factorization and the per-iteration forward/backward sweeps
+  are ``lax.fori_loop``s over stages with ``pl.ds`` dynamic ref slices,
+  instead of Python-unrolled chains over ``range(N)``;
 * operator arrays are never bound as whole kernel VALUES — every use reads
   the ref at the use site, so nothing horizon-sized stays live across the
-  sequential sweeps.
+  sequential sweeps;
+* the solves use a TWO-WAY ("burn at both ends" / twisted) factorization:
+  elimination runs from BOTH ends toward the middle stage ``m = N // 2``,
+  so each sweep is two INDEPENDENT ~N/2-step chains instead of one
+  ~N-step chain.  The chains are interleaved in one ``fori_loop`` body, so
+  the VPU overlaps their op latencies (the one-way sweep measured ~60 us
+  per ADMM iteration at quadrotor h100 and was latency-bound on the
+  dependency chain itself — partial unrolling was neutral, see
+  docs/PERFORMANCE.md round 4).  Storage is unchanged: top multipliers
+  live in ``g[0..m-2]``, the middle couplers in ``g[m-1]``/``g[m]``, and
+  bottom multipliers in ``g[m+1..N-2]``.  The back-substitution also
+  hoists the recursion-independent ``u[k] = dinv[k] @ s[k]`` products into
+  ONE stage-parallel whole-array pass, halving the op count of every
+  dependent backward step.
 
 Why a second kernel exists: the unrolled kernel's code for quadrotor h100
 (w=16, N=100) measured **234 MB** of VMEM — only ~75 MB of it real data,
@@ -210,8 +223,19 @@ def _kernel(
             acc = t if acc is None else acc + t
         return acc
 
-    # ---- block-Thomas factorization, ROLLED over stages ----------------
+    # ---- two-way block factorization, ROLLED over stages ---------------
+    # Twisted ("burn at both ends") LU: eliminate from stage 0 DOWN and
+    # stage N-1 UP simultaneously, meeting at m = N // 2.  Top multipliers
+    # g[k-1] = L[k] @ dinv[k-1] occupy g slots [0, m-1); bottom
+    # multipliers h[k] = U[k] @ dinv[k+1] occupy g slots (m, N-2] (each
+    # written over the L[k+1] block that slot held, AFTER its only read);
+    # the middle stage stores its two couplers at slots m-1 and m.  The
+    # two elimination recurrences are independent, so the interleaved
+    # fori body gives the VPU two chains to overlap.
+    m_mid = N // 2
     dinv_ref[0:1] = spd_inv4(dinv_ref[0:1])
+    if m_mid < N - 1:
+        dinv_ref[N - 1 : N] = spd_inv4(dinv_ref[N - 1 : N])
     r = j0_ref.shape[1]
 
     def lowt_stage(k):
@@ -235,18 +259,48 @@ def _kernel(
             rows.append(acc)  # (1, 1, w, Bt)
         return jnp.concatenate(rows, axis=1)  # (1, w, w, Bt)
 
-    def fact_step(k):
-        a_km1 = g_ref[pl.ds(k - 1, 1)]
+    def fact_top(k):
+        a_km1 = g_ref[pl.ds(k - 1, 1)]  # L[k]
         g_k = mm4(a_km1, dinv_ref[pl.ds(k - 1, 1)])
         schur = dinv_ref[pl.ds(k, 1)] - mm4(g_k, lowt_stage(k - 1))
         dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
         g_ref[pl.ds(k - 1, 1)] = g_k
 
-    # Partial unroll: UNROLL stages per fori iteration amortizes the
+    def fact_bot(k):
+        h_k = mm4(lowt_stage(k), dinv_ref[pl.ds(k + 1, 1)])  # U[k] Dinv
+        l_k1 = g_ref[pl.ds(k, 1)]  # L[k+1] (original content of slot k)
+        schur = dinv_ref[pl.ds(k, 1)] - mm4(h_k, l_k1)
+        dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
+        g_ref[pl.ds(k, 1)] = h_k
+
+    # Partial unroll: UNROLL stage-pairs per fori iteration amortizes the
     # per-iteration loop/addressing overhead of the (inherently
     # sequential) stage recurrences without re-inflating the program to
     # the full-unroll size that spilled VMEM.
-    _run_grouped(N - 1, lambda i: fact_step(i + 1))
+    nt_f = m_mid - 1  # top steps: k = 1 .. m-1
+    nb_f = max(N - 2 - m_mid, 0)  # bottom steps: k = N-2 .. m+1
+    common_f = min(nt_f, nb_f)
+
+    def fact_pair(i):
+        fact_top(i + 1)
+        fact_bot(N - 2 - i)
+
+    _run_grouped(common_f, fact_pair)
+    for i in range(common_f, nt_f):
+        fact_top(i + 1)
+    for i in range(common_f, nb_f):
+        fact_bot(N - 2 - i)
+    # Middle stage: Schur complements arrive from BOTH sides.
+    g_m1 = mm4(g_ref[pl.ds(m_mid - 1, 1)], dinv_ref[pl.ds(m_mid - 1, 1)])
+    schur_m = dinv_ref[pl.ds(m_mid, 1)] - mm4(g_m1, lowt_stage(m_mid - 1))
+    if m_mid < N - 1:
+        h_m = mm4(lowt_stage(m_mid), dinv_ref[pl.ds(m_mid + 1, 1)])
+        # slot m still holds L[m+1]: read it for the Schur term, then
+        # store h[m] there (its only remaining consumers are the sweeps).
+        schur_m = schur_m - mm4(h_m, g_ref[pl.ds(m_mid, 1)])
+        g_ref[pl.ds(m_mid, 1)] = h_m
+    dinv_ref[pl.ds(m_mid, 1)] = spd_inv4(schur_m)
+    g_ref[pl.ds(m_mid - 1, 1)] = g_m1
 
     # ---- operator applications (parallel over stages) ------------------
     # Contractions unrolled over the SMALL index with per-term ref-slice
@@ -286,11 +340,15 @@ def _kernel(
     def mat_P(x):
         return _contract_w(hb_ref, x)
 
-    # ---- block-Thomas solve, ROLLED sweeps through s_ref ---------------
+    # ---- two-way block solve, ROLLED sweeps through s_ref --------------
     def btd_solve(rhs):
         s_ref[:] = rhs
 
-        def fwd(i):
+        # Phase 1: forward elimination from both ends (independent
+        # chains; interleaved bodies).  Top: s[k] -= g[k-1] s[k-1] for
+        # k = 1..m; bottom: s[k] -= h[k] s[k+1] for k = N-2..m.  Both
+        # chains fold into s[m] (at different loop steps).
+        def fwd_top(i):
             k = i + 1
             g_km1 = g_ref[pl.ds(k - 1, 1)]
             s_km1 = jnp.expand_dims(s_ref[pl.ds(k - 1, 1)], 1)  # (1,1,w,Bt)
@@ -298,19 +356,69 @@ def _kernel(
                 g_km1 * s_km1, axis=2
             )
 
-        _run_grouped(N - 1, fwd)
-        s_last = jnp.expand_dims(s_ref[N - 1 : N], 1)
-        s_ref[N - 1 : N] = jnp.sum(dinv_ref[N - 1 : N] * s_last, axis=2)
-
-        def bwd(i):
+        def fwd_bot(i):
             k = N - 2 - i
-            x_next = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 2)  # (1,w,1,Bt)
-            s_k = jnp.expand_dims(s_ref[pl.ds(k, 1)], 1)
-            s_ref[pl.ds(k, 1)] = jnp.sum(
-                dinv_ref[pl.ds(k, 1)] * s_k, axis=2
-            ) - jnp.sum(g_ref[pl.ds(k, 1)] * x_next, axis=1)
+            h_k = g_ref[pl.ds(k, 1)]
+            s_k1 = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 1)
+            s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
+                h_k * s_k1, axis=2
+            )
 
-        _run_grouped(N - 1, bwd)
+        nt = m_mid  # top: k = 1 .. m
+        nb = N - 1 - m_mid  # bottom: k = N-2 .. m
+        common = min(nt, nb)
+
+        def fwd_pair(i):
+            fwd_top(i)
+            fwd_bot(i)
+
+        _run_grouped(common, fwd_pair)
+        for i in range(common, nt):
+            fwd_top(i)
+        for i in range(common, nb):
+            fwd_bot(i)
+
+        # Phase 2: u[k] = dinv[k] @ s[k] for ALL stages as one
+        # stage-parallel whole-array pass (recursion-independent: top
+        # back-subst needs u below m, bottom above m, and u[m] IS x[m]).
+        # This halves the op count of every dependent phase-3 step.
+        u_rows = []
+        for i in range(w):
+            u_rows.append(
+                jnp.sum(
+                    dinv_ref[:, i : i + 1, :, :]
+                    * jnp.expand_dims(s_ref[:], 1),
+                    axis=2,
+                )
+            )
+        s_ref[:] = jnp.concatenate(u_rows, axis=1)
+
+        # Phase 3: back-substitution outward from the middle (independent
+        # chains).  Top: x[k] = u[k] - g[k]^T x[k+1] for k = m-1..0;
+        # bottom: x[k] = u[k] - h[k-1]^T x[k-1] for k = m+1..N-1.
+        def bwd_top(i):
+            k = m_mid - 1 - i
+            x_next = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 2)  # (1,w,1,Bt)
+            s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
+                g_ref[pl.ds(k, 1)] * x_next, axis=1
+            )
+
+        def bwd_bot(i):
+            k = m_mid + 1 + i
+            x_prev = jnp.expand_dims(s_ref[pl.ds(k - 1, 1)], 2)
+            s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
+                g_ref[pl.ds(k - 1, 1)] * x_prev, axis=1
+            )
+
+        def bwd_pair(i):
+            bwd_top(i)
+            bwd_bot(i)
+
+        _run_grouped(common, bwd_pair)
+        for i in range(common, nt):
+            bwd_top(i)
+        for i in range(common, nb):
+            bwd_bot(i)
         return s_ref[:]
 
     def one_iter(_, c):

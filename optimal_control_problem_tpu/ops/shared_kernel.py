@@ -50,21 +50,22 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["shared_admm_chunk", "pick_shared_tile"]
 
 _HI = jax.lax.Precision.HIGHEST
+_H3 = jax.lax.Precision.HIGH  # 3-pass bf16 (see ADMMSettings.iter_precision)
 
 
-def _dot(a, b):
-    """(Bt, k) @ (k, j) on the MXU at f32-HIGHEST."""
+def _dot(a, b, prec=_HI):
+    """(Bt, k) @ (k, j) on the MXU (f32-HIGHEST unless overridden)."""
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        precision=_HI, preferred_element_type=jnp.float32,
+        precision=prec, preferred_element_type=jnp.float32,
     )
 
 
-def _dot_t(a, b):
-    """(Bt, k) @ (j, k)^T on the MXU at f32-HIGHEST."""
+def _dot_t(a, b, prec=_HI):
+    """(Bt, k) @ (j, k)^T on the MXU (f32-HIGHEST unless overridden)."""
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())),
-        precision=_HI, preferred_element_type=jnp.float32,
+        precision=prec, preferred_element_type=jnp.float32,
     )
 
 
@@ -127,6 +128,7 @@ def _kernel(
     alpha: float,
     eps_abs: float,
     eps_rel: float,
+    iter_precision: str = "highest",
 ):
     OP = op_ref[:]
     Ab = ab_ref[:]
@@ -141,11 +143,17 @@ def _kernel(
     bound = bound_ref[0, 0]
     skip = jnp.all(done0_ref[:] == 1)
 
+    # Iteration-GEMM precision (ADMMSettings.iter_precision): the residual
+    # matvecs below ALWAYS run at HIGHEST, so termination still certifies
+    # full-f32 residuals whatever the iteration ran at.
+    p_x = _HI if iter_precision == "highest" else _H3
+    p_z = _H3 if iter_precision == "high" else _HI
+
     def one_iter(_, c):
         x, z, y = c
-        rhs = sigma * x - qb + _dot(rho * z - y, Ab)
-        xt = _dot(rhs, OP)
-        zt = _dot_t(xt, Ab)
+        rhs = sigma * x - qb + _dot(rho * z - y, Ab, p_x)
+        xt = _dot(rhs, OP, p_x)
+        zt = _dot_t(xt, Ab, p_z)
         x_n = alpha * xt + (1.0 - alpha) * x
         z_rel = alpha * zt + (1.0 - alpha) * z
         z_n = jnp.clip(z_rel + y / rho, lb, ub)
@@ -219,7 +227,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "check_every", "sigma", "alpha",
-        "eps_abs", "eps_rel", "batch_tile", "interpret",
+        "eps_abs", "eps_rel", "batch_tile", "interpret", "iter_precision",
     ),
 )
 def shared_admm_chunk(
@@ -246,6 +254,7 @@ def shared_admm_chunk(
     eps_rel: float,
     batch_tile: int,
     interpret: bool = False,
+    iter_precision: str = "highest",
 ):
     """Run one rho-constant shared-system ADMM chunk fully in VMEM.
 
@@ -313,6 +322,7 @@ def shared_admm_chunk(
         alpha=alpha,
         eps_abs=eps_abs,
         eps_rel=eps_rel,
+        iter_precision=iter_precision,
     )
     outs = pl.pallas_call(
         kernel,

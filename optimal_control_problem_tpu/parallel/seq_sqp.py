@@ -42,6 +42,16 @@ from .seq_admm import seq_admm_local
 __all__ = ["sqp_solve_seq_parallel"]
 
 
+# Compiled-program cache: building ``jax.jit(shard_map(...))`` fresh per
+# call retraces and re-lowers the whole sharded program EVERY MPC tick —
+# measured as the dominant share of the 1-device sequence-parallel "tax"
+# (docs/PERFORMANCE.md round 4: ~13-14x vs the single-device path; round 5
+# re-measured after this cache).  Keyed by object identity for ``ss`` /
+# ``admm`` (StageStructure may hold unhashable list bounds); the cached
+# value keeps strong references so ids stay valid.
+_SOLVE_CACHE: dict = {}
+
+
 def sqp_solve_seq_parallel(
     ss: StageStructure,
     x0: jnp.ndarray,  # (N, w) initial trajectory (frames)
@@ -68,6 +78,20 @@ def sqp_solve_seq_parallel(
         N, w = x0.shape[1:]
     else:
         N, w = x0.shape
+    key = (
+        id(ss), id(admm), mesh, axis, batch_axis, x0.shape, x0.dtype.name,
+        sqp_iters, float(alpha), float(hessian_reg), line_search,
+        ls_num, float(ls_alpha_max), float(ls_merit_mu),
+    )
+    cached = _SOLVE_CACHE.get(key)
+    if cached is not None:
+        _, _, spec_c, solve_c, D_c = cached
+        shard = NamedSharding(mesh, spec_c)
+        put = lambda a: jax.device_put(a, shard)
+        x, its, status = solve_c(put(x0), put(ref), put(lx), put(ux))
+        if batch_axis is None:
+            return x, its.reshape(D_c, -1)[0], status.reshape(D_c, sqp_iters, 3)[0]
+        return (x, its[:, 0], status[:, 0])
     D = mesh.shape[axis]
     C = N // D
     if C * D != N or C < 2:
@@ -247,6 +271,9 @@ def sqp_solve_seq_parallel(
             )
         )
     )
+    if len(_SOLVE_CACHE) >= 64:  # bound growth across test sweeps
+        _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)))
+    _SOLVE_CACHE[key] = (ss, admm, spec, solve, D)
     x, its, status = solve(put(x0), put(ref), put(lx), put(ux))
     # status: per-SQP-iteration (converged, prim_inf, dual_inf) bool triples
     # — the sharded analog of SQPResult.qp_* flags.  Shape (sqp_iters, 3) in

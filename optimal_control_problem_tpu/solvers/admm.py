@@ -140,6 +140,25 @@ class ADMMSettings:
     # (3-pass bf16) trades ~2x matmul cost for a slightly earlier float32
     # noise floor - validate convergence before enabling.
     precision: str = "highest"
+    # Precision of the ITERATION GEMMs only (shared-factorization condensed
+    # path, XLA and Pallas backends).  Unlike ``precision`` (which lowers
+    # everything, including the termination residuals — measured in round 3
+    # to balloon iteration counts ~17x because the residual check itself
+    # floats on the 3-pass noise floor), this knob keeps the RESIDUAL
+    # matvecs and the factorization at "highest" and lowers only the
+    # per-iteration x/z-update products:
+    #   "highest" — 6-pass everywhere (default; bit-compatible with r04);
+    #   "high"    — all three iteration GEMMs at 3-pass.  Termination still
+    #               requires the full-precision residuals to pass, so a
+    #               solution that terminates is exactly as accurate as the
+    #               default path; the risk is extra iterations if 3-pass
+    #               noise stalls the fixed point above eps (measure!);
+    #   "mixed"   — x-update chain (rhs assembly + solve) at 3-pass, but
+    #               the z-projection argument ``zt = xt @ A^T`` at 6-pass:
+    #               zt feeds the RUNNING dual accumulator y directly, so
+    #               this variant keeps noise out of the one quantity that
+    #               integrates across iterations.
+    iter_precision: str = "highest"
     # Single-GEMM condensed iteration (shared-factorization batched path
     # only): algebraically fold the three per-iteration products
     # (rhs assembly, x-update, z-projection argument) into ONE
@@ -177,6 +196,11 @@ class ADMMSettings:
             raise ValueError(
                 f"banded_solver must be 'thomas' or 'cr', got "
                 f"{self.banded_solver!r}"
+            )
+        if self.iter_precision not in ("highest", "high", "mixed"):
+            raise ValueError(
+                f"iter_precision must be 'highest', 'high' or 'mixed', "
+                f"got {self.iter_precision!r}"
             )
 
     def replace(self, **kw) -> "ADMMSettings":

@@ -389,6 +389,7 @@ def _admm_iterate_fused(
                 eps_rel=float(st.eps_rel),
                 batch_tile=batch_tile,
                 interpret=interpret,
+                iter_precision=st.iter_precision,
             )
         )
         ran = it_inc > 0
@@ -476,6 +477,21 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
     y = jnp.zeros((B, m), dtype) if y0 is None else c * y0.astype(dtype) / E[None, :]
     z = jnp.clip(x @ Ab.T, lb, ub)
 
+    # Iteration-GEMM precision override (ADMMSettings.iter_precision): the
+    # residual matvecs and certificates stay on the ambient
+    # ``settings.precision`` context, so termination still certifies
+    # full-precision residuals (same contract as the Pallas kernel).
+    _px = (
+        jax.lax.Precision.HIGHEST
+        if st.iter_precision == "highest"
+        else jax.lax.Precision.HIGH
+    )
+    _pz = (
+        jax.lax.Precision.HIGH
+        if st.iter_precision == "high"
+        else jax.lax.Precision.HIGHEST
+    )
+
     def one_iter(carry, _):
         x, z, y, rho, OP = carry
         if fused:
@@ -484,13 +500,15 @@ def _admm_iterate_impl(fac, q, l, u, settings, x0, y0):
             lhs = jnp.concatenate(
                 [sigma * x - qb, rho[None, :] * z - y], axis=1
             )
-            xtzt = lhs @ OP
+            xtzt = jnp.matmul(lhs, OP, precision=_px)
             xt = xtzt[:, :n]
             zt = xtzt[:, n:]
         elif st.method == "condensed":
-            rhs = sigma * x - qb + (rho[None, :] * z - y) @ Ab
-            xt = rhs @ OP
-            zt = xt @ Ab.T
+            rhs = sigma * x - qb + jnp.matmul(
+                rho[None, :] * z - y, Ab, precision=_px
+            )
+            xt = jnp.matmul(rhs, OP, precision=_px)
+            zt = jnp.matmul(xt, Ab.T, precision=_pz)
         else:
             rhs = jnp.concatenate([sigma * x - qb, z - y / rho[None, :]], axis=1)
             sol = rhs @ OP  # OP symmetric (quasi-definite KKT inverse)

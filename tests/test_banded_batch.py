@@ -237,14 +237,27 @@ def test_rolled_matches_vmapped_reference_forced_budget(adaptive):
 
 
 def test_rolled_matches_unrolled_kernel():
-    """The two kernel variants run the same algorithm over the same chunk
-    boundaries — solutions and iteration counts must agree to fp noise."""
+    """The two kernel variants run the same chunk boundaries, but the
+    rolled kernel's TWO-WAY (twisted) factorization eliminates stages in
+    a different order, so the factors agree only to fp roundoff —
+    trajectory agreement is asserted over a forced iteration budget (the
+    same policy as the kernel-vs-XLA tests above; knife-edge scenarios
+    can converge a whole check block apart at the residual floor), plus
+    solution agreement at the solver tolerance."""
+    st = SET.replace(
+        eps_abs=0.0, eps_rel=0.0, max_iter=100, check_infeasibility=False
+    )
     qp_b = stack_qps([random_stage_qp(s + 7) for s in range(4)])
-    a = admm_solve_banded_batch(qp_b, SET)
-    b = admm_solve_banded_batch(qp_b, SET, rolled=True)
+    a = admm_solve_banded_batch(qp_b, st)
+    b = admm_solve_banded_batch(qp_b, st, rolled=True)
     np.testing.assert_array_equal(np.asarray(a.iters), np.asarray(b.iters))
     np.testing.assert_allclose(
         np.asarray(a.x), np.asarray(b.x), atol=2e-4, rtol=1e-3
+    )
+    a2 = admm_solve_banded_batch(qp_b, SET)
+    b2 = admm_solve_banded_batch(qp_b, SET, rolled=True)
+    np.testing.assert_allclose(
+        np.asarray(a2.x), np.asarray(b2.x), atol=5e-3, rtol=1e-2
     )
 
 

@@ -145,3 +145,34 @@ def test_pick_shared_tile():
     # Flagship size fits as one program; absurd sizes fall back.
     assert pick_shared_tile(4096, 120, 196) == 4096
     assert pick_shared_tile(100_000, 2048, 4096) not in (100_000,)
+
+
+@pytest.mark.parametrize("mode", ["high", "mixed"])
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_iter_precision_variants_converge_to_same_solution(mode, backend):
+    """``iter_precision`` lowers only the iteration GEMMs; termination still
+    requires the HIGHEST-precision residuals to pass, so a converged
+    solution must match the default path at the solver tolerance.  (On CPU
+    the precisions are numerically identical — this pins dispatch,
+    semantics, and that the Pallas kernel accepts the knob; the
+    accuracy/iteration-count tradeoff is measured on real TPU in
+    docs/PERFORMANCE.md round 5.)"""
+    P, A, qs, ls, us = _problem()
+    st = ADMMSettings(
+        eps_abs=1e-4, eps_rel=1e-4, method="condensed", adaptive_rho=True,
+        backend=backend,
+    )
+    fac = prepare_shared(P, A, ls, us, qs, st)
+    base = admm_iterate_prepared(fac, qs, ls, us, st)
+    low = admm_iterate_prepared(
+        fac, qs, ls, us, st.replace(iter_precision=mode)
+    )
+    assert bool(jnp.all(base.converged)) and bool(jnp.all(low.converged))
+    np.testing.assert_allclose(
+        np.asarray(base.x), np.asarray(low.x), rtol=1e-3, atol=2e-3
+    )
+
+
+def test_iter_precision_validated():
+    with pytest.raises(ValueError):
+        ADMMSettings(iter_precision="hi")
