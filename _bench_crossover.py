@@ -69,14 +69,21 @@ def main():
                     adaptive_rho=False, check_infeasibility=False,
                     scaling_iters=3,
                 )
-                # Chain reps by a data dependency and end each window
-                # with a host read: on the relay backend a bare
-                # block_until_ready on an unchained result returns
-                # early, which produced physically impossible timings.
+                # Chain reps by a REAL data dependency and end each window
+                # with a host read.  The round-4 harness chained via
+                # ``q + 0.0 * carry`` — algebraically inert, so XLA folds
+                # the dependency away, every rep is the identical program
+                # on identical inputs, and the relay served repeats fast
+                # enough to produce physically impossible timings (~40 us
+                # for 100 forced h500 iterations; VERDICT round-4 weak #4).
+                # Feeding the previous solution into the WARM START cannot
+                # fold (it changes the iterates), does not change the
+                # iteration count (forced budget), and keeps the per-rep
+                # compute identical.
                 fn = jax.jit(
                     jax.vmap(
                         lambda q_, b_: admm_solve_banded(
-                            q_._replace(q=q_.q + 0.0 * b_), st
+                            q_, st, x0=1e-3 * b_
                         ).x
                     )
                 )
@@ -89,8 +96,9 @@ def main():
                     t0 = time.perf_counter()
                     for _ in range(reps):
                         carry = fn(qp_b, carry)
-                    float(jnp.sum(carry))
+                    s = float(jnp.sum(carry))
                     times.append((time.perf_counter() - t0) / reps)
+                    assert np.isfinite(s)
                 row[f"{solver}_ms"] = round(
                     float(np.median(times)) * 1e3, 3
                 )

@@ -133,7 +133,12 @@ def _kernel(
     w = q_ref.shape[1]
     nd_ = N - 1
     dtype = q_ref.dtype
-    UNROLL = 4
+    # Partial unrolling measured NEUTRAL on the one-way sweeps (round 4 —
+    # the chains are latency-bound, not loop-overhead bound), and the
+    # two-way bodies already carry two independent work streams each, so
+    # keep the fori bodies single-step: at quadrotor h100 the UNROLL=4
+    # twin bodies pushed Mosaic's scoped-vmem stack 5.5 MB past the limit.
+    UNROLL = 1
 
     def _run_grouped(count, step):
         """Run ``step(i)`` for i in [0, count) — UNROLL steps per fori
@@ -382,16 +387,16 @@ def _kernel(
         # stage-parallel whole-array pass (recursion-independent: top
         # back-subst needs u below m, bottom above m, and u[m] IS x[m]).
         # This halves the op count of every dependent phase-3 step.
-        u_rows = []
-        for i in range(w):
-            u_rows.append(
-                jnp.sum(
-                    dinv_ref[:, i : i + 1, :, :]
-                    * jnp.expand_dims(s_ref[:], 1),
-                    axis=2,
-                )
-            )
-        s_ref[:] = jnp.concatenate(u_rows, axis=1)
+        # Column-accumulation form (the mat_P idiom): one (N, w, Bt)
+        # accumulator + one term live — the row-slice/concat form kept all
+        # w row pieces live and pushed the Mosaic stack 5.5 MB over VMEM
+        # at h100 (and sublane-axis concats are a known Mosaic crash).
+        s_val = s_ref[:]
+        acc = None
+        for j in range(w):
+            t = dinv_ref[:, :, j, :] * s_val[:, j : j + 1, :]
+            acc = t if acc is None else acc + t
+        s_ref[:] = acc
 
         # Phase 3: back-substitution outward from the middle (independent
         # chains).  Top: x[k] = u[k] - g[k]^T x[k+1] for k = m-1..0;
@@ -631,9 +636,11 @@ def banded_admm_chunk_rolled(
         # Ceiling probed against quadrotor h100: Mosaic's scoped-vmem
         # scheduler spends up to the limit (raising it raised the
         # allocation), so this is set just above the measured minimum
-        # rather than at the chip's ~128 MB physical capacity.
+        # rather than at the chip's ~128 MB physical capacity.  (The
+        # two-way solve measured 114.53 MB at h100 — 544 KB past the old
+        # 114 MB ceiling; 116 MB clears it with margin.)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=114 * 1024 * 1024,
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)

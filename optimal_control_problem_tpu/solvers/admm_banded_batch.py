@@ -47,15 +47,19 @@ from ..ops.block_tridiag import btd_factor, btd_solve
 from .admm import ADMMSettings, QPSolution, _RHO_MAX, _RHO_MIN, f32_matmuls
 from .admm_banded import (
     BandedQP,
-    _apply_A,
     _rho_vec,
-    apply_scalings,
     banded_certificates,
     banded_polish,
     ruiz_equilibrate_banded,
 )
 
-__all__ = ["admm_solve_banded_batch", "pick_batch_tile", "ruiz_scalings_batch"]
+__all__ = [
+    "admm_solve_banded_batch",
+    "admm_solve_banded_batch_T",
+    "pick_batch_tile",
+    "ruiz_scalings_batch",
+    "ruiz_scalings_batch_T",
+]
 
 
 def ruiz_scalings_batch(qp: BandedQP, iters: int):
@@ -66,12 +70,41 @@ def ruiz_scalings_batch(qp: BandedQP, iters: int):
     (``ADMMSettings.scaling_refresh == "tick"``).
     """
     qpT = jax.tree_util.tree_map(_t, qp)
+    DT, ET, cT = ruiz_scalings_batch_T(qpT, iters)
+    return _ut(DT), _ut(ET), cT
+
+
+def ruiz_scalings_batch_T(qpT: BandedQP, iters: int):
+    """Batch-LAST Ruiz factors: ``(D (n, B), E (m, B), c (B,))`` from a
+    batch-last QP (trailing scenario axis on every field) — the
+    zero-relayout variant for callers that already hold batch-last
+    operators (the SQP layer's batch-last derivative path)."""
     _, DT, ET, cT = jax.vmap(
         lambda q_: ruiz_equilibrate_banded(q_, iters),
         in_axes=-1,
         out_axes=-1,
     )(qpT)
-    return _ut(DT), _ut(ET), cT
+    return DT, ET, cT
+
+
+def _apply_scalings_T(qpT: BandedQP, DT, ET, cT, N, w, r, r2):
+    """Batch-last :func:`..solvers.admm_banded.apply_scalings`: one
+    elementwise pass, trailing scenario axis everywhere (``DT (n, B)``,
+    ``ET (m, B)``, ``cT (B,)``).  Same per-element multiply order as the
+    per-scenario version, so iterates bit-match the vmapped reference."""
+    n = N * w
+    DnT = DT.reshape(N, w, -1)
+    EdT = ET[n : n + (N - 1) * r].reshape(N - 1, r, -1) if r else None
+    EcT = ET[n + (N - 1) * r :].reshape(N, r2, -1) if r2 else None
+    return BandedQP(
+        Hb=cT * DnT[:, :, None, :] * qpT.Hb * DnT[:, None, :, :],
+        J0=EdT[:, :, None, :] * qpT.J0 * DnT[:-1, None, :, :] if r else qpT.J0,
+        J1=EdT[:, :, None, :] * qpT.J1 * DnT[1:, None, :, :] if r else qpT.J1,
+        Jc=EcT[:, :, None, :] * qpT.Jc * DnT[:, None, :, :] if r2 else qpT.Jc,
+        q=cT * DT * qpT.q,
+        l=ET * qpT.l,
+        u=ET * qpT.u,
+    )
 
 
 def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
@@ -148,24 +181,6 @@ def pick_batch_tile(B: int, N: int, w: int, r: int, r2: int):
     return None
 
 
-def _split_rows(v, N, w, r, r2):
-    """(B, m) flat rows [x; dyn; sc] -> per-section (B, ...) arrays."""
-    B = v.shape[0]
-    n = N * w
-    nd = N - 1
-    vx = v[:, :n].reshape(B, N, w)
-    vd = v[:, n : n + nd * r].reshape(B, nd, r)
-    vc = v[:, n + nd * r :].reshape(B, N, r2)
-    return vx, vd, vc
-
-
-def _join_rows(vx, vd, vc):
-    B = vx.shape[0]
-    return jnp.concatenate(
-        [vx.reshape(B, -1), vd.reshape(B, -1), vc.reshape(B, -1)], axis=1
-    )
-
-
 def _t(a):
     """Batch-leading -> batch-last."""
     return jnp.moveaxis(a, 0, -1)
@@ -176,51 +191,52 @@ def _ut(a):
     return jnp.moveaxis(a, -1, 0)
 
 
-def _pad_sections(qp: BandedQP, y0, N, w):
+def _pad_sections_T(qpT: BandedQP, y0T, N, w):
     """Ensure r >= 1 and r2 >= 1 by inserting all-zero Jacobian rows with
     loose bounds (the kernel has a fixed three-section signature).  Zero
     rows are inert: Ruiz gives them unit scaling (``_limit_scaling(0) = 1``)
-    and their iterates stay exactly zero.  Returns (qp, y0, had_r, had_r2).
-    """
-    B = qp.Hb.shape[0]
+    and their iterates stay exactly zero.  Batch-LAST layout (trailing
+    scenario axis).  Returns (qpT, y0T, had_r, had_r2)."""
+    B = qpT.Hb.shape[-1]
     nd = N - 1
     n = N * w
-    r = qp.J0.shape[2]
-    r2 = qp.Jc.shape[2]
+    r = qpT.J0.shape[1]
+    r2 = qpT.Jc.shape[1]
     had_r, had_r2 = r > 0, r2 > 0
-    dtype = qp.Hb.dtype
-    l, u, q = qp.l, qp.u, qp.q
-    J0, J1, Jc = qp.J0, qp.J1, qp.Jc
+    dtype = qpT.Hb.dtype
+    l, u, q = qpT.l, qpT.u, qpT.q
+    J0, J1, Jc = qpT.J0, qpT.J1, qpT.Jc
     inf = jnp.inf
     if not had_r:
-        J0 = jnp.zeros((B, nd, 1, w), dtype)
-        J1 = jnp.zeros((B, nd, 1, w), dtype)
-        pad = jnp.full((B, nd), -inf, dtype)
-        l = jnp.concatenate([l[:, :n], pad, l[:, n:]], axis=1)
-        u = jnp.concatenate([u[:, :n], -pad, u[:, n:]], axis=1)
-        y0 = jnp.concatenate(
-            [y0[:, :n], jnp.zeros((B, nd), dtype), y0[:, n:]], axis=1
+        J0 = jnp.zeros((nd, 1, w, B), dtype)
+        J1 = jnp.zeros((nd, 1, w, B), dtype)
+        pad = jnp.full((nd, B), -inf, dtype)
+        l = jnp.concatenate([l[:n], pad, l[n:]], axis=0)
+        u = jnp.concatenate([u[:n], -pad, u[n:]], axis=0)
+        y0T = jnp.concatenate(
+            [y0T[:n], jnp.zeros((nd, B), dtype), y0T[n:]], axis=0
         )
     if not had_r2:
-        Jc = jnp.zeros((B, N, 1, w), dtype)
-        pad = jnp.full((B, N), -inf, dtype)
-        l = jnp.concatenate([l, pad], axis=1)
-        u = jnp.concatenate([u, -pad], axis=1)
-        y0 = jnp.concatenate([y0, jnp.zeros((B, N), dtype)], axis=1)
-    return BandedQP(qp.Hb, J0, J1, Jc, q, l, u), y0, had_r, had_r2
+        Jc = jnp.zeros((N, 1, w, B), dtype)
+        pad = jnp.full((N, B), -inf, dtype)
+        l = jnp.concatenate([l, pad], axis=0)
+        u = jnp.concatenate([u, -pad], axis=0)
+        y0T = jnp.concatenate([y0T, jnp.zeros((N, B), dtype)], axis=0)
+    return BandedQP(qpT.Hb, J0, J1, Jc, q, l, u), y0T, had_r, had_r2
 
 
-def _strip_sections(v, N, w, r, r2, had_r, had_r2):
-    """Drop the rows added by :func:`_pad_sections` from a flat (B, m)."""
+def _strip_sections_T(vT, N, w, r, r2, had_r, had_r2):
+    """Drop the rows added by :func:`_pad_sections_T` from a flat (m, B)."""
     if had_r and had_r2:
-        return v
-    vx, vd, vc = _split_rows(v, N, w, r, r2)
-    parts = [vx.reshape(v.shape[0], -1)]
+        return vT
+    n = N * w
+    nd = N - 1
+    parts = [vT[:n]]
     if had_r:
-        parts.append(vd.reshape(v.shape[0], -1))
+        parts.append(vT[n : n + nd * r])
     if had_r2:
-        parts.append(vc.reshape(v.shape[0], -1))
-    return jnp.concatenate(parts, axis=1)
+        parts.append(vT[n + nd * r :])
+    return jnp.concatenate(parts, axis=0)
 
 
 @partial(
@@ -243,21 +259,83 @@ def admm_solve_banded_batch(
     Returns a :class:`QPSolution` with leading batch dims.  Numerically
     equivalent to ``jax.vmap(admm_solve_banded)`` (thomas solver), but the
     iteration loop runs as the fused batch-last Pallas kernel.
+
+    This is the batch-LEADING public boundary: one transpose per array at
+    entry and exit; everything inside (:func:`_solve_banded_batch_T`) is
+    batch-last end to end.  Callers that already hold batch-last operators
+    (the SQP layer's batch-last derivative path) should use
+    :func:`admm_solve_banded_batch_T` and skip the round trip.
     """
-    st = settings
-    dtype = qp.Hb.dtype
-    B, N, w = qp.Hb.shape[0], qp.Hb.shape[1], qp.Hb.shape[2]
+    qpT = jax.tree_util.tree_map(_t, qp)
+    x0T = None if x0 is None else x0.T
+    y0T = None if y0 is None else y0.T
+    scalingsT = (
+        None if scalings is None
+        else (scalings[0].T, scalings[1].T, scalings[2])
+    )
+    xT, yT, zT, it_b, done, rp, rd, pinf, dinf = _solve_banded_batch_T(
+        qpT, settings, x0T, y0T, batch_tile, interpret, rolled, scalingsT
+    )
+    return QPSolution(
+        x=xT.T, y=yT.T, z=zT.T,
+        iters=it_b, converged=done, r_prim=rp, r_dual=rd,
+        prim_inf=pinf, dual_inf=dinf,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "batch_tile", "interpret", "rolled"),
+)
+@f32_matmuls
+def admm_solve_banded_batch_T(
+    qpT: BandedQP,
+    settings: ADMMSettings = ADMMSettings(),
+    x0T: Optional[jnp.ndarray] = None,  # (n, B) warm start
+    y0T: Optional[jnp.ndarray] = None,  # (m, B)
+    batch_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    rolled: Optional[bool] = None,
+    scalingsT=None,  # optional precomputed (D (n,B), E (m,B), c (B,))
+):
+    """Batch-LAST twin of :func:`admm_solve_banded_batch`: every field of
+    ``qpT`` carries a TRAILING scenario axis (``Hb (N,w,w,B)``, ``q/l/u
+    (rows, B)``), warm starts/returns are ``(rows, B)``.  Zero relayouts —
+    arrays flow straight from a batch-last QP build into the batch-last
+    Pallas kernels (the per-SQP-step transpose round trip was the dominant
+    prepare cost at cart-pole h20 B=256; docs/PERFORMANCE.md round 5).
+
+    Returns ``(x (n,B), y (m,B), z (m,B), iters (B,), converged, r_prim,
+    r_dual, prim_inf, dual_inf)``.
+    """
+    return _solve_banded_batch_T(
+        qpT, settings, x0T, y0T, batch_tile, interpret, rolled, scalingsT
+    )
+
+
+def _solve_banded_batch_T(
+    qpT: BandedQP,
+    st: ADMMSettings,
+    x0T,
+    y0T,
+    batch_tile,
+    interpret,
+    rolled,
+    scalingsT,
+):
+    dtype = qpT.Hb.dtype
+    N, w, B = qpT.Hb.shape[0], qpT.Hb.shape[1], qpT.Hb.shape[-1]
     if N < 2:
         raise ValueError("batch-native banded path requires horizon >= 2")
     n = N * w
-    m_in = qp.l.shape[1]
+    m_in = qpT.l.shape[0]
     sigma = float(st.sigma)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     use_cr = st.banded_solver == "cr"
     if batch_tile is None:
-        r_eff = max(qp.J0.shape[2], 1)
-        r2_eff = max(qp.Jc.shape[2], 1)
+        r_eff = max(qpT.J0.shape[1], 1)
+        r2_eff = max(qpT.Jc.shape[1], 1)
         if use_cr:
             # banded_solver="cr": log-depth cyclic-reduction chunk kernel
             # (ops/banded_cr_kernel.py) — the latency choice for long
@@ -300,102 +378,109 @@ def admm_solve_banded_batch(
         batch_tile = 128
     if batch_tile is None:
         # Working set does not fit in VMEM at any lane-aligned tile:
-        # fall back to the vmapped XLA loop (same semantics).
+        # fall back to the vmapped XLA loop (same semantics; batch-leading
+        # internally, so transpose at this rare boundary).
         from .admm_banded import admm_solve_banded
 
-        return jax.vmap(
+        sol = jax.vmap(
             lambda q_, x_, y_: admm_solve_banded(q_, st, x0=x_, y0=y_)
         )(
-            qp,
-            jnp.zeros((B, n), dtype) if x0 is None else x0,
-            jnp.zeros((B, m_in), dtype) if y0 is None else y0,
+            jax.tree_util.tree_map(_ut, qpT),
+            jnp.zeros((B, n), dtype) if x0T is None else x0T.T,
+            jnp.zeros((B, m_in), dtype) if y0T is None else y0T.T,
+        )
+        return (
+            sol.x.T, sol.y.T, sol.z.T, sol.iters, sol.converged,
+            sol.r_prim, sol.r_dual, sol.prim_inf, sol.dual_inf,
         )
 
-    qp = qp._replace(
-        l=jnp.minimum(qp.l.astype(dtype), qp.u.astype(dtype)),
-        u=qp.u.astype(dtype),
-        q=qp.q.astype(dtype),
+    qpT = qpT._replace(
+        l=jnp.minimum(qpT.l.astype(dtype), qpT.u.astype(dtype)),
+        u=qpT.u.astype(dtype),
+        q=qpT.q.astype(dtype),
     )
-    x0 = jnp.zeros((B, n), dtype) if x0 is None else x0.astype(dtype)
-    y0 = jnp.zeros((B, m_in), dtype) if y0 is None else y0.astype(dtype)
-    qp, y0, had_r, had_r2 = _pad_sections(qp, y0, N, w)
-    r = qp.J0.shape[2]
-    r2 = qp.Jc.shape[2]
-    m = qp.l.shape[1]
-    if scalings is not None and not (had_r and had_r2):
+    x0T = jnp.zeros((n, B), dtype) if x0T is None else x0T.astype(dtype)
+    y0T = jnp.zeros((m_in, B), dtype) if y0T is None else y0T.astype(dtype)
+    qpT, y0T, had_r, had_r2 = _pad_sections_T(qpT, y0T, N, w)
+    r = qpT.J0.shape[1]
+    r2 = qpT.Jc.shape[1]
+    m = qpT.l.shape[0]
+    nd = N - 1
+    if scalingsT is not None and not (had_r and had_r2):
         # Precomputed E was built on the UNPADDED sections; insert unit
-        # scalings for the inert rows _pad_sections added (zero Jacobian
+        # scalings for the inert rows _pad_sections_T added (zero Jacobian
         # rows get _limit_scaling(0) = 1 from Ruiz too).
-        D_, E_, c_ = scalings
-        parts = [E_[:, :n]]
+        D_, E_, c_ = scalingsT
+        parts = [E_[:n]]
         if had_r:
-            parts.append(E_[:, n : n + (N - 1) * r])
-            sc_off = n + (N - 1) * r
+            parts.append(E_[n : n + nd * r])
+            sc_off = n + nd * r
         else:
-            parts.append(jnp.ones((E_.shape[0], N - 1), E_.dtype))
+            parts.append(jnp.ones((nd, E_.shape[-1]), E_.dtype))
             sc_off = n
         if had_r2:
-            parts.append(E_[:, sc_off:])
+            parts.append(E_[sc_off:])
         else:
-            parts.append(jnp.ones((E_.shape[0], N), E_.dtype))
-        scalings = (D_, jnp.concatenate(parts, axis=1), c_)
+            parts.append(jnp.ones((N, E_.shape[-1]), E_.dtype))
+        scalingsT = (D_, jnp.concatenate(parts, axis=0), c_)
 
     pad_b = (-B) % batch_tile
     if pad_b:
         # Pad the batch by replicating scenario 0; padded rows enter frozen.
         rep = lambda a: jnp.concatenate(
-            [a, jnp.broadcast_to(a[:1], (pad_b,) + a.shape[1:])], axis=0
+            [a, jnp.broadcast_to(a[..., :1], a.shape[:-1] + (pad_b,))],
+            axis=-1,
         )
-        qp = jax.tree_util.tree_map(rep, qp)
-        x0, y0 = rep(x0), rep(y0)
-        if scalings is not None:
-            scalings = tuple(rep(s) for s in scalings)
+        qpT = jax.tree_util.tree_map(rep, qpT)
+        x0T, y0T = rep(x0T), rep(y0T)
+        if scalingsT is not None:
+            scalingsT = tuple(rep(s) for s in scalingsT)
     Bp = B + pad_b
 
     # -- prepare (XLA, batch-LAST) --------------------------------------
-    if scalings is not None:
+    if scalingsT is not None:
         # Precomputed factors (scaling_refresh="tick"): one elementwise
         # scaling pass instead of the Ruiz iteration loop.
-        D, E, c = scalings
-        D, E, c = D.astype(dtype), E.astype(dtype), c.astype(dtype)
-        scaled = jax.vmap(apply_scalings)(qp, D, E, c)
+        DT, ET, cT = scalingsT
+        DT, ET, cT = DT.astype(dtype), ET.astype(dtype), cT.astype(dtype)
+        scaled = _apply_scalings_T(qpT, DT, ET, cT, N, w, r, r2)
     else:
-        # Ruiz runs scaling_iters x (rescale blocks + norms) per SQP
-        # step; vmapped over a LEADING batch axis every intermediate has
-        # w (5..16) in the lanes.  Mapping the batch as the TRAILING axis
-        # instead puts the scenario batch in the lanes — the same layout
-        # fix as the batch-last derivative layer (stagewise.py).  Same
-        # math, same per-element op order; only the vmap axis moves.
-        qpT = jax.tree_util.tree_map(lambda a: _t(a), qp)
-        scaledT, DT, ET, cT = jax.vmap(
+        # Ruiz vmapped over the TRAILING batch axis: the scenario batch
+        # fills the lanes (same layout as the batch-last derivative layer
+        # in stagewise.py); per-element op order matches the per-scenario
+        # reference exactly.
+        scaled, DT, ET, cT = jax.vmap(
             lambda q_: ruiz_equilibrate_banded(q_, st.scaling_iters),
             in_axes=-1,
             out_axes=-1,
         )(qpT)
-        scaled = jax.tree_util.tree_map(lambda a: _ut(a), scaledT)
-        D, E, c = _ut(DT), _ut(ET), cT
-    cinv = 1.0 / c  # (Bp,)
-    Dinv, Einv = 1.0 / D, 1.0 / E
+    cinv = 1.0 / cT  # (Bp,)
+    DinvT, EinvT = 1.0 / DT, 1.0 / ET
     rho0 = _rho_vec(scaled.l, scaled.u, jnp.asarray(st.rho, dtype), dtype)
     # No factorization here: the chunk kernel assembles M and runs the
-    # block-Thomas factorization in-kernel at every entry (a few hundred
-    # chained VPU ops), so a rho adaptation refactors by re-entering.  As
-    # XLA this stage was a launch-bound sequential scan measured at over
-    # half the cart-pole tick (docs/PERFORMANCE.md round-3 bisection).
+    # block factorization in-kernel at every entry (a few hundred chained
+    # VPU ops), so a rho adaptation refactors by re-entering.  As XLA this
+    # stage was a launch-bound sequential scan measured at over half the
+    # cart-pole tick (docs/PERFORMANCE.md round-3 bisection).
 
-    # Batch-last constants for the kernel.
-    HbT = _t(scaled.Hb)
-    J0T, J1T, JcT = _t(scaled.J0), _t(scaled.J1), _t(scaled.Jc)
-    qT = _t(scaled.q.reshape(Bp, N, w))
+    HbT, J0T, J1T, JcT = scaled.Hb, scaled.J0, scaled.J1, scaled.Jc
+    qT = scaled.q.reshape(N, w, Bp)
 
-    def sectionsT(v):
-        vx, vd, vc = _split_rows(v, N, w, r, r2)
-        return _t(vx), _t(vd), _t(vc)
+    def sections(vT):
+        """Flat (rows, Bp) -> per-section views.  Row-major with the batch
+        last, so each section is a contiguous slice — pure reshapes, no
+        data movement (this is what the old batch-leading carry paid ~9
+        relayouts per chunk for)."""
+        return (
+            vT[:n].reshape(N, w, Bp),
+            vT[n : n + nd * r].reshape(nd, r, Bp),
+            vT[n + nd * r :].reshape(N, r2, Bp),
+        )
 
-    lxT, ldT, lcT = sectionsT(scaled.l)
-    uxT, udT, ucT = sectionsT(scaled.u)
-    exT, edT, ecT = sectionsT(Einv)
-    dsT = _t(Dinv.reshape(Bp, N, w))
+    lxT, ldT, lcT = sections(scaled.l)
+    uxT, udT, ucT = sections(scaled.u)
+    exT, edT, ecT = sections(EinvT)
+    dsT = DinvT.reshape(N, w, Bp)
     scaleT = {"ds": dsT, "ex": exT, "ed": edT, "ec": ecT, "ci": cinv}
 
     if st.adaptive_rho:
@@ -406,20 +491,32 @@ def admm_solve_banded_batch(
     else:
         interval = st.max_iter
 
-    x_s = x0 * Dinv  # scaled warm starts, batch-leading flat
-    y_s = c[:, None] * y0 * Einv
+    x_s = x0T * DinvT  # scaled warm starts, batch-last flat (n, Bp)
+    y_s = cT * y0T * EinvT
     # z initialized ONCE (clip(A x0, l, u) in scaled space) and carried
     # through every chunk — identical to admm_solve_banded's while state.
-    z_s = jnp.clip(
-        jax.vmap(lambda q_, x_: _apply_A(q_, x_.reshape(N, w)))(scaled, x_s),
-        scaled.l,
-        scaled.u,
+    # A's x-section is the identity in scaled space (Ex = 1/D pinned);
+    # dynamics/stage products accumulate in _apply_A's op order.
+    x3 = x_s.reshape(N, w, Bp)
+    zx0 = jnp.clip(x3, lxT, uxT)
+    zd0 = jnp.clip(
+        jnp.sum(J0T * x3[:-1, None, :, :], axis=2)
+        + jnp.sum(J1T * x3[1:, None, :, :], axis=2),
+        ldT,
+        udT,
+    )
+    zc0 = jnp.clip(jnp.sum(JcT * x3[:, None, :, :], axis=2), lcT, ucT)
+    z_s = jnp.concatenate(
+        [zx0.reshape(n, Bp), zd0.reshape(nd * r, Bp), zc0.reshape(N * r2, Bp)],
+        axis=0,
     )
 
+    # Certificates per scenario over the TRAILING axis (lanes = batch).
     cert_b = jax.vmap(
         lambda qp_, dx, dy, D_, E_, ci_: banded_certificates(
             qp_, dx, dy, D_, E_, ci_, st
-        )
+        ),
+        in_axes=-1,
     )
 
     false_b = jnp.zeros((Bp,), bool)
@@ -431,10 +528,10 @@ def admm_solve_banded_batch(
     inf_b = jnp.full((Bp,), jnp.inf, dtype)
     state = (
         jnp.zeros((Bp,), jnp.int32),  # it per scenario
-        x_s,
-        y_s,
-        z_s,  # z (scaled), carried across chunks
-        rho0,
+        x_s,  # (n, Bp)
+        y_s,  # (m, Bp)
+        z_s,  # (m, Bp) z (scaled), carried across chunks
+        rho0,  # (m, Bp)
         done0,  # done (converged; padded rows pre-frozen)
         false_b,  # prim_inf
         false_b,  # dual_inf
@@ -452,9 +549,9 @@ def admm_solve_banded_batch(
     def body_fn(s):
         (it_b, x, y, z, rho, done, pinf, dinf, rp, rd) = s
         stop = done | pinf | dinf
-        yx, yd, yc = sectionsT(y)
-        zx, zd, zc = sectionsT(z)
-        rxT, rdT_, rcT = sectionsT(rho)
+        yx, yd, yc = sections(y)
+        zx, zd, zc = sections(z)
+        rxT, rdT_, rcT = sections(rho)
         bounds = {
             "lx": lxT, "ux": uxT, "rx": rxT,
             "ld": ldT, "ud": udT, "rd": rdT_,
@@ -469,7 +566,7 @@ def admm_solve_banded_batch(
          rp_k, rd_k, mp_k, md_k) = chunk_fn(
             it_b, stop.astype(jnp.int32),
             HbT, J0T, J1T, JcT, qT, bounds, scaleT,
-            _t(x.reshape(Bp, N, w)), yx, yd, yc, zx, zd, zc,
+            x.reshape(N, w, Bp), yx, yd, yc, zx, zd, zc,
             interval=interval,
             check_every=st.check_every,
             max_iter=st.max_iter,
@@ -480,9 +577,15 @@ def admm_solve_banded_batch(
             batch_tile=batch_tile,
             interpret=interpret,
         )
-        x_new = _ut(xT2).reshape(Bp, n)
-        y_new = _join_rows(_ut(yx2), _ut(yd2), _ut(yc2))
-        z_new = _join_rows(_ut(zx2), _ut(zd2), _ut(zc2))
+        x_new = xT2.reshape(n, Bp)
+        y_new = jnp.concatenate(
+            [yx2.reshape(n, Bp), yd2.reshape(nd * r, Bp),
+             yc2.reshape(N * r2, Bp)], axis=0,
+        )
+        z_new = jnp.concatenate(
+            [zx2.reshape(n, Bp), zd2.reshape(nd * r, Bp),
+             zc2.reshape(N * r2, Bp)], axis=0,
+        )
         ran = jnp.isfinite(rp_k)  # scenarios that advanced this chunk
         it_b = it_b + it_inc
         done = done | ((kdone == 1) & ~stop)
@@ -490,7 +593,7 @@ def admm_solve_banded_batch(
         rd = jnp.where(ran, rd_k, rd)
         if st.check_infeasibility:
             pinf_k, dinf_k = cert_b(
-                scaled, x_new - x, y_new - y, D, E, cinv
+                scaled, x_new - x, y_new - y, DT, ET, cinv
             )
             pinf = pinf | (pinf_k & ran & ~done)
             dinf = dinf | (dinf_k & ran & ~done)
@@ -509,8 +612,8 @@ def admm_solve_banded_batch(
             # The refactorization itself happens inside the kernel at the
             # next chunk entry; updating rho here is all the adaptation is.
             rho = jnp.where(
-                trigger[:, None],
-                jnp.clip(rho * scale[:, None], _RHO_MIN, _RHO_MAX),
+                trigger[None, :],
+                jnp.clip(rho * scale[None, :], _RHO_MIN, _RHO_MAX),
                 rho,
             )
         return (it_b, x_new, y_new, z_new, rho,
@@ -521,23 +624,28 @@ def admm_solve_banded_batch(
     )
 
     if st.polish:
+        # The polish pass stays batch-leading (vmapped per scenario over
+        # dense section math) — transpose at this opt-in boundary only.
         pol = jax.vmap(
             lambda qp_, x_, y_, z_, rp_, rd_, Ei_, Di_, ci_: banded_polish(
                 qp_, st, btd_factor, btd_solve,
                 x_, y_, z_, rp_, rd_, Ei_, Di_, ci_,
             )
         )
-        x, y, z, rp, rd = pol(scaled, x, y, z, rp, rd, Einv, Dinv, cinv)
+        xb, yb, zb, rp, rd = pol(
+            jax.tree_util.tree_map(_ut, scaled),
+            x.T, y.T, z.T, rp, rd, EinvT.T, DinvT.T, cinv,
+        )
+        x, y, z = xb.T, yb.T, zb.T
 
-    sol = QPSolution(
-        x=(D * x)[:B],
-        y=_strip_sections(E * y * cinv[:, None], N, w, r, r2, had_r, had_r2)[:B],
-        z=_strip_sections(z * Einv, N, w, r, r2, had_r, had_r2)[:B],
-        iters=it_b[:B],
-        converged=done[:B],
-        r_prim=rp[:B],
-        r_dual=rd[:B],
-        prim_inf=pinf[:B],
-        dual_inf=dinf[:B],
+    return (
+        (DT * x)[:, :B],
+        _strip_sections_T(ET * y * cinv, N, w, r, r2, had_r, had_r2)[:, :B],
+        _strip_sections_T(z * EinvT, N, w, r, r2, had_r, had_r2)[:, :B],
+        it_b[:B],
+        done[:B],
+        rp[:B],
+        rd[:B],
+        pinf[:B],
+        dinf[:B],
     )
-    return sol

@@ -797,8 +797,8 @@ class SQPOptimizationSolver:
         )
         from .admm_banded import BandedQP
         from .admm_banded_batch import (
-            admm_solve_banded_batch,
-            ruiz_scalings_batch,
+            admm_solve_banded_batch_T,
+            ruiz_scalings_batch_T,
         )
 
         opt = self.options
@@ -824,61 +824,70 @@ class SQPOptimizationSolver:
             # Iterate-independent: hoisted out of the SQP scan (only the
             # shift by c(x_k) changes per iteration).
             lower, upper = bounds_b(p, lbx, ubx, lbg, ubg)
+            lowerT, upperT = lower.T, upper.T
             pT = p.T
-            bl = lambda a: jnp.moveaxis(a, -1, 0)
 
-            def build_qp(x):
+            def build_qp_T(x):
+                # Batch-LAST end to end: the derivative layer already
+                # produces trailing-scenario-axis blocks; handing them to
+                # the batch-last driver directly (admm_solve_banded_batch_T)
+                # removes the per-SQP-step batch-leading round trip (~30
+                # relayout ops/step — the dominant prepare cost measured at
+                # cart-pole h20 B=256, docs/PERFORMANCE.md round 5).
                 HbT, J0T, J1T, JcT = blocks_T(x.T, pT)
                 gradT, cvalT = vectors_T(x.T, pT)
                 return BandedQP(
-                    Hb=bl(HbT), J0=bl(J0T), J1=bl(J1T), Jc=bl(JcT),
-                    q=gradT.T, l=lower - cvalT.T, u=upper - cvalT.T,
+                    Hb=HbT, J0=J0T, J1=J1T, Jc=JcT,
+                    q=gradT, l=lowerT - cvalT, u=upperT - cvalT,
                 )
 
             if admm_settings.scaling_refresh == "tick":
                 # Hoist Ruiz out of the SQP scan: equilibrate ONCE against
                 # the first linearization and reuse the factors for every
                 # step's QP (see ADMMSettings.scaling_refresh).
-                scalings = ruiz_scalings_batch(
-                    build_qp(x_init), admm_settings.scaling_iters
+                scalingsT = ruiz_scalings_batch_T(
+                    build_qp_T(x_init), admm_settings.scaling_iters
                 )
             else:
-                scalings = None
+                scalingsT = None
 
             def sqp_iter(carry, _):
-                x, qpx, qpy, stop = carry
-                qp = build_qp(x)
-                sol = admm_solve_banded_batch(
-                    qp,
+                x, qpxT, qpyT, stop = carry
+                qpT = build_qp_T(x)
+                (sxT, syT, szT, s_iters, s_conv, s_rp, s_rd,
+                 s_pinf, s_dinf) = admm_solve_banded_batch_T(
+                    qpT,
                     admm_settings,
-                    x0=qpx if opt.qp_warm_start else None,
-                    y0=qpy if opt.qp_warm_start else None,
-                    scalings=scalings,
+                    x0T=qpxT if opt.qp_warm_start else None,
+                    y0T=qpyT if opt.qp_warm_start else None,
+                    scalingsT=scalingsT,
                 )
-                x_new, step_norm = step_b(x, sol.x, p, lbx, ubx, lbg, ubg)
+                sol_x = sxT.T  # (B, n) for the (batch-leading) step rule
+                x_new, step_norm = step_b(x, sol_x, p, lbx, ubx, lbg, ubg)
                 if early:
                     keep = stop[:, None]
+                    keepT = stop[None, :]
                     x_new = jnp.where(keep, x, x_new)
-                    qpx_n = jnp.where(keep, qpx, sol.x)
-                    qpy_n = jnp.where(keep, qpy, sol.y)
-                    qp_it = jnp.where(stop, 0, sol.iters)
+                    qpx_n = jnp.where(keepT, qpxT, sxT)
+                    qpy_n = jnp.where(keepT, qpyT, syT)
+                    qp_it = jnp.where(stop, 0, s_iters)
                     step_norm = jnp.where(stop, 0.0, step_norm)
                     took = jnp.logical_not(stop)
                     stop = jnp.logical_or(stop, step_norm < tol)
                 else:
-                    qpx_n, qpy_n, qp_it = sol.x, sol.y, sol.iters
+                    qpx_n, qpy_n, qp_it = sxT, syT, s_iters
                     took = jnp.ones(step_norm.shape, bool)
                 fval = f_b(x_new, p)
-                status = (sol.converged, sol.prim_inf, sol.dual_inf)
+                status = (s_conv, s_pinf, s_dinf)
                 return (x_new, qpx_n, qpy_n, stop), (
                     fval, qp_it, step_norm, status, took
                 )
 
             stop0 = jnp.zeros((x_init.shape[0],), bool)
-            (x, qpx, qpy, _), (f_hist, qp_iters, step_norms, status, took) = (
+            (x, qpxT, qpyT, _), (f_hist, qp_iters, step_norms, status, took) = (
                 jax.lax.scan(
                     sqp_iter,
-                    (x_init, qp_x0, qp_y0, stop0),
+                    (x_init, qp_x0.T, qp_y0.T, stop0),
                     None,
                     length=opt.max_iter,
                 )
@@ -886,8 +895,8 @@ class SQPOptimizationSolver:
             return SQPResult(
                 x=x,
                 f=f_hist[-1],
-                qp_x=qpx,
-                qp_y=qpy,
+                qp_x=qpxT.T,
+                qp_y=qpyT.T,
                 f_history=f_hist,
                 qp_iters=qp_iters,
                 step_norms=step_norms,
