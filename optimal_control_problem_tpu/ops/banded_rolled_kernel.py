@@ -18,8 +18,9 @@ OSQP termination — but with the horizon loops ROLLED:
   per ADMM iteration at quadrotor h100 and was latency-bound on the
   dependency chain itself — partial unrolling was neutral, see
   docs/PERFORMANCE.md round 4).  Storage is unchanged: top multipliers
-  live in ``g[0..m-2]``, the middle couplers in ``g[m-1]``/``g[m]``, and
-  bottom multipliers in ``g[m+1..N-2]``.  The back-substitution also
+  ``g[k] = L[k+1] dinv[k]`` live in ``g`` slots [0, m-1], and the bottom
+  chain's TRANSPOSED multipliers ``W[k] = dinv[k+1] L[k+1] = h[k]^T``
+  in slots [m, N-2].  The back-substitution also
   hoists the recursion-independent ``u[k] = dinv[k] @ s[k]`` products into
   ONE stage-parallel whole-array pass, halving the op count of every
   dependent backward step.
@@ -133,28 +134,26 @@ def _kernel(
     w = q_ref.shape[1]
     nd_ = N - 1
     dtype = q_ref.dtype
-    # Partial unrolling measured NEUTRAL on the one-way sweeps (round 4 —
-    # the chains are latency-bound, not loop-overhead bound), and the
-    # two-way bodies already carry two independent work streams each, so
-    # keep the fori bodies single-step: at quadrotor h100 the UNROLL=4
-    # twin bodies pushed Mosaic's scoped-vmem stack 5.5 MB past the limit.
-    UNROLL = 1
-
-    def _run_grouped(count, step):
-        """Run ``step(i)`` for i in [0, count) — UNROLL steps per fori
+    def _run_grouped(count, step, unroll=4):
+        """Run ``step(i)`` for i in [0, count) — ``unroll`` steps per fori
         iteration (dynamic base + static offsets), remainder unrolled
-        statically."""
-        groups = count // UNROLL
+        statically.  The sweeps use unroll=4: their ~1 us/iteration cost
+        is fori loop machinery, not compute (measured round 5 — UNROLL=1
+        twin sweeps ran 136 us/ADMM-iteration vs ~60 for the one-way
+        UNROLL=4 kernel).  The FACTOR runs unroll=1: its pair bodies are
+        ~400 ops each and unrolling them 4x pushed Mosaic's scoped-vmem
+        stack 5.5 MB past the limit at quadrotor h100."""
+        groups = count // unroll
 
         def group_body(g, _):
-            i0 = g * UNROLL
-            for j in range(UNROLL):
+            i0 = g * unroll
+            for j in range(unroll):
                 step(i0 + j)
             return 0
 
         if groups > 0:
             jax.lax.fori_loop(0, groups, group_body, 0)
-        for i in range(groups * UNROLL, count):
+        for i in range(groups * unroll, count):
             step(i)
 
     it0 = it0_ref[:]
@@ -231,52 +230,59 @@ def _kernel(
     # ---- two-way block factorization, ROLLED over stages ---------------
     # Twisted ("burn at both ends") LU: eliminate from stage 0 DOWN and
     # stage N-1 UP simultaneously, meeting at m = N // 2.  Top multipliers
-    # g[k-1] = L[k] @ dinv[k-1] occupy g slots [0, m-1); bottom
-    # multipliers h[k] = U[k] @ dinv[k+1] occupy g slots (m, N-2] (each
-    # written over the L[k+1] block that slot held, AFTER its only read);
-    # the middle stage stores its two couplers at slots m-1 and m.  The
-    # two elimination recurrences are independent, so the interleaved
-    # fori body gives the VPU two chains to overlap.
+    # g[k] = L[k+1] @ dinv[k] occupy g slots [0, m-1]; the bottom chain
+    # stores the TRANSPOSED multipliers W[k] = dinv[k+1] @ L[k+1] = h[k]^T
+    # in slots [m, N-2] (each written over the L[k+1] block that slot
+    # held, AFTER its only read).  Storing W instead of h keeps every
+    # product in this kernel in natural orientation: no block transpose
+    # exists on this TPU path, and the per-stage lowT recomputation the
+    # one-way factor paid for it (w*r scalar-x-row terms per stage) was
+    # ~60% of the measured 0.89 ms per-SQP-step fixed cost at quadrotor
+    # h100 (round 5).  Both Schur products L dinv L^T and L^T dinv L are
+    # computed row-by-row with the two PROVEN reduction patterns (axis-2
+    # row-dot, axis-1 weighted row sum) — see _schur_rows_*.
     m_mid = N // 2
     dinv_ref[0:1] = spd_inv4(dinv_ref[0:1])
     if m_mid < N - 1:
         dinv_ref[N - 1 : N] = spd_inv4(dinv_ref[N - 1 : N])
     r = j0_ref.shape[1]
 
-    def lowt_stage(k):
-        """lowT[k] recomputed from the J-blocks (row_r_t per row) — the
-        same commutative product pairs as the unrolled kernel's lowT
-        assembly, stacked along sublanes so no relayout transpose is
-        needed; trades an (N, w, w, B) scratch buffer for ~r*w^2 extra
-        multiply-adds per stage of the (once-per-chunk) factor loop."""
-        j0k = j0_ref[pl.ds(k, 1)]  # (1, r, w, Bt)
-        j1k = j1_ref[pl.ds(k, 1)]
-        rdk = rd_ref[pl.ds(k, 1)]  # (1, r, Bt)
-        rows = []
-        for b in range(w):
-            acc = None
-            for i in range(r):
-                rho_i = jnp.expand_dims(rdk[:, i : i + 1, :], 2)
-                t = j0k[:, i : i + 1, b : b + 1, :] * (
-                    rho_i * j1k[:, i : i + 1, :, :]
-                )
-                acc = t if acc is None else acc + t
-            rows.append(acc)  # (1, 1, w, Bt)
-        return jnp.concatenate(rows, axis=1)  # (1, w, w, Bt)
+    def _schur_sub_rows_top(k, L, Y):
+        """dinv_ref[k] -= Y @ L^T, row by row: row a = L @ Y[a, :]
+        (axis-2 row-dot of L against the broadcast row of Y)."""
+        for a in range(w):
+            y_a = Y[:, a : a + 1, :, :]  # (1, 1, w, Bt)
+            row = jnp.sum(L * y_a, axis=2)  # (1, w, Bt)
+            dinv_ref[pl.ds(k, 1), a : a + 1, :, :] = dinv_ref[
+                pl.ds(k, 1), a : a + 1, :, :
+            ] - jnp.expand_dims(row, 1)
+
+    def _schur_sub_rows_bot(k, A, V):
+        """dinv_ref[k] -= A^T @ V, row by row: row a = sum_j A[j, a] V[j, :]
+        (column-a weights via integer slice + axis-1 reduction — the bwd
+        sweep's proven pattern)."""
+        for a in range(w):
+            col_a = jnp.expand_dims(A[:, :, a, :], 2)  # (1, w, 1, Bt)
+            row = jnp.sum(V * col_a, axis=1)  # (1, w, Bt)
+            dinv_ref[pl.ds(k, 1), a : a + 1, :, :] = dinv_ref[
+                pl.ds(k, 1), a : a + 1, :, :
+            ] - jnp.expand_dims(row, 1)
 
     def fact_top(k):
-        a_km1 = g_ref[pl.ds(k - 1, 1)]  # L[k]
-        g_k = mm4(a_km1, dinv_ref[pl.ds(k - 1, 1)])
-        schur = dinv_ref[pl.ds(k, 1)] - mm4(g_k, lowt_stage(k - 1))
-        dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
+        L_k = g_ref[pl.ds(k - 1, 1)]  # L[k]
+        g_k = mm4(L_k, dinv_ref[pl.ds(k - 1, 1)])  # L[k] dinv[k-1]
+        # dinv[k] <- inv(D[k] - L[k] dinv[k-1] L[k]^T)
+        _schur_sub_rows_top(k, L_k, g_k)
+        dinv_ref[pl.ds(k, 1)] = spd_inv4(dinv_ref[pl.ds(k, 1)])
         g_ref[pl.ds(k - 1, 1)] = g_k
 
     def fact_bot(k):
-        h_k = mm4(lowt_stage(k), dinv_ref[pl.ds(k + 1, 1)])  # U[k] Dinv
-        l_k1 = g_ref[pl.ds(k, 1)]  # L[k+1] (original content of slot k)
-        schur = dinv_ref[pl.ds(k, 1)] - mm4(h_k, l_k1)
-        dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
-        g_ref[pl.ds(k, 1)] = h_k
+        L_k1 = g_ref[pl.ds(k, 1)]  # L[k+1] (original content of slot k)
+        W_k = mm4(dinv_ref[pl.ds(k + 1, 1)], L_k1)  # dinv[k+1] L[k+1]
+        # dinv[k] <- inv(D[k] - L[k+1]^T dinv[k+1] L[k+1])
+        _schur_sub_rows_bot(k, L_k1, W_k)
+        dinv_ref[pl.ds(k, 1)] = spd_inv4(dinv_ref[pl.ds(k, 1)])
+        g_ref[pl.ds(k, 1)] = W_k
 
     # Partial unroll: UNROLL stage-pairs per fori iteration amortizes the
     # per-iteration loop/addressing overhead of the (inherently
@@ -290,21 +296,23 @@ def _kernel(
         fact_top(i + 1)
         fact_bot(N - 2 - i)
 
-    _run_grouped(common_f, fact_pair)
+    _run_grouped(common_f, fact_pair, unroll=1)
     for i in range(common_f, nt_f):
         fact_top(i + 1)
     for i in range(common_f, nb_f):
         fact_bot(N - 2 - i)
     # Middle stage: Schur complements arrive from BOTH sides.
-    g_m1 = mm4(g_ref[pl.ds(m_mid - 1, 1)], dinv_ref[pl.ds(m_mid - 1, 1)])
-    schur_m = dinv_ref[pl.ds(m_mid, 1)] - mm4(g_m1, lowt_stage(m_mid - 1))
+    L_m = g_ref[pl.ds(m_mid - 1, 1)]  # L[m]
+    g_m1 = mm4(L_m, dinv_ref[pl.ds(m_mid - 1, 1)])
+    _schur_sub_rows_top(m_mid, L_m, g_m1)
     if m_mid < N - 1:
-        h_m = mm4(lowt_stage(m_mid), dinv_ref[pl.ds(m_mid + 1, 1)])
         # slot m still holds L[m+1]: read it for the Schur term, then
-        # store h[m] there (its only remaining consumers are the sweeps).
-        schur_m = schur_m - mm4(h_m, g_ref[pl.ds(m_mid, 1)])
-        g_ref[pl.ds(m_mid, 1)] = h_m
-    dinv_ref[pl.ds(m_mid, 1)] = spd_inv4(schur_m)
+        # store W[m] there (its only remaining consumers are the sweeps).
+        L_m1 = g_ref[pl.ds(m_mid, 1)]
+        W_m = mm4(dinv_ref[pl.ds(m_mid + 1, 1)], L_m1)
+        _schur_sub_rows_bot(m_mid, L_m1, W_m)
+        g_ref[pl.ds(m_mid, 1)] = W_m
+    dinv_ref[pl.ds(m_mid, 1)] = spd_inv4(dinv_ref[pl.ds(m_mid, 1)])
     g_ref[pl.ds(m_mid - 1, 1)] = g_m1
 
     # ---- operator applications (parallel over stages) ------------------
@@ -351,8 +359,11 @@ def _kernel(
 
         # Phase 1: forward elimination from both ends (independent
         # chains; interleaved bodies).  Top: s[k] -= g[k-1] s[k-1] for
-        # k = 1..m; bottom: s[k] -= h[k] s[k+1] for k = N-2..m.  Both
-        # chains fold into s[m] (at different loop steps).
+        # k = 1..m; bottom: s[k] -= h[k] s[k+1] = W[k]^T s[k+1] for
+        # k = N-2..m (W stored — so the bottom chain uses the axis-1
+        # pattern here and the axis-2 pattern in phase 3, the mirror
+        # image of the top chain).  Both chains fold into s[m] (at
+        # different loop steps).
         def fwd_top(i):
             k = i + 1
             g_km1 = g_ref[pl.ds(k - 1, 1)]
@@ -363,10 +374,10 @@ def _kernel(
 
         def fwd_bot(i):
             k = N - 2 - i
-            h_k = g_ref[pl.ds(k, 1)]
-            s_k1 = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 1)
+            w_k = g_ref[pl.ds(k, 1)]  # W[k] = h[k]^T
+            s_k1 = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 2)  # (1,w,1,Bt)
             s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
-                h_k * s_k1, axis=2
+                w_k * s_k1, axis=1
             )
 
         nt = m_mid  # top: k = 1 .. m
@@ -400,7 +411,8 @@ def _kernel(
 
         # Phase 3: back-substitution outward from the middle (independent
         # chains).  Top: x[k] = u[k] - g[k]^T x[k+1] for k = m-1..0;
-        # bottom: x[k] = u[k] - h[k-1]^T x[k-1] for k = m+1..N-1.
+        # bottom: x[k] = u[k] - h[k-1]^T x[k-1] = u[k] - W[k-1] x[k-1]
+        # for k = m+1..N-1 (W stored, so this side is a plain row-dot).
         def bwd_top(i):
             k = m_mid - 1 - i
             x_next = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 2)  # (1,w,1,Bt)
@@ -410,9 +422,9 @@ def _kernel(
 
         def bwd_bot(i):
             k = m_mid + 1 + i
-            x_prev = jnp.expand_dims(s_ref[pl.ds(k - 1, 1)], 2)
+            x_prev = jnp.expand_dims(s_ref[pl.ds(k - 1, 1)], 1)  # (1,1,w,Bt)
             s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
-                g_ref[pl.ds(k - 1, 1)] * x_prev, axis=1
+                g_ref[pl.ds(k - 1, 1)] * x_prev, axis=2
             )
 
         def bwd_pair(i):
