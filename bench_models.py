@@ -337,16 +337,17 @@ def main():
             # Tuned fixed rho beats adaptive here (docs/TUNING.md 4b).
             "adaptive_rho": False,
             "rho": 0.05,
-            # Warm-started QPs pass the first residual check; finer
-            # blocks stop ~20 iterations earlier per SQP step (round 4).
-            "check_every": 5,
+            # Warm-started steady-state QPs converge in ~2 iterations, and
+            # the kernel iterates until the whole tile passes, so ce=2
+            # stops stragglers at their actual convergence point: measured
+            # 11.4 -> 6.5 ms/tick at B=64 vs ce=5 (round 5; ce=1 pays more
+            # check blocks than it saves, ce=3 overshoots to 2x3 its).
+            "check_every": 2,
             # Equilibrate once per tick, reuse across SQP steps
             # (ADMMSettings.scaling_refresh; round 4).
             "scaling_refresh": "tick",
         }
-        # B=128 with this config margins out of VMEM on the rolled kernel
-        # (compile-time scoped OOM); B=64 is the committed row.
-        for B_q in (64,):
+        for B_q in (64, 128):
             frames = np.tile(
                 quadrotor.initial_state()[None, :], (B_q, 1)
             ).astype(np.float32)
