@@ -18,7 +18,7 @@ from optimal_control_problem_tpu.ops.banded_rolled_kernel import (
     banded_admm_chunk_rolled,
 )
 
-N, w, r, r2, B = 100, 16, 12, 1, 128
+N, w, r, r2, B = 100, 16, 12, 1, 64
 rng = np.random.default_rng(0)
 f32 = np.float32
 
@@ -48,20 +48,13 @@ xT, yx, yd, yc = mk(N, w, B), mk(N, w, B), mk(N - 1, r, B), mk(N, r2, B)
 zx, zd, zc = mk(N, w, B), mk(N - 1, r, B), mk(N, r2, B)
 it0 = jnp.zeros((B,), jnp.int32)
 
-# Pre-assembled M blocks (XLA-side assembly contract, round 5): the
-# driver computes these from the scaled operators + rho; here random SPD
-# diagonals + small couplings stand in (the microbench times structure,
-# not convergence).
-MdT = jnp.asarray(Hb) + 0.2 * jnp.eye(w, dtype=jnp.float32)[None, :, :, None]
-LsT = mk(N - 1, w, w, B)
-
 
 def call(x_in, done_val, max_iter):
     # x_in chains the reps by a REAL data dependency so the relay cannot
     # serve repeated identical executions (the impossible-fast glitch).
     done0 = jnp.full((B,), done_val, jnp.int32)
     return banded_admm_chunk_rolled(
-        it0, done0, HbT, MdT, LsT, J0T, J1T, JcT, qT, bounds, scaleT,
+        it0, done0, HbT, J0T, J1T, JcT, qT, bounds, scaleT,
         x_in, yx, yd, yc, zx, zd, zc,
         interval=max_iter, check_every=5, max_iter=max_iter,
         sigma=1e-6, alpha=1.6, eps_abs=0.0, eps_rel=0.0,
@@ -69,23 +62,17 @@ def call(x_in, done_val, max_iter):
     )
 
 
-def bench(name, done_val, max_iter, reps=50):
-    # The whole rep chain runs inside ONE jitted scan: per-call host/relay
-    # dispatch (~2 ms, larger than the kernel entry itself) never enters
-    # the measurement, exactly like the kernel's real in-graph usage.
-    @jax.jit
-    def chain(x0):
-        def body(c, _):
-            out = call(c, done_val, max_iter)
-            return 0.9 * c + 0.1 * jnp.tanh(out[0]), None
-        return jax.lax.scan(body, x0, None, length=reps)[0]
-
-    x_in = chain(xT)
+def bench(name, done_val, max_iter, reps=30):
+    x_in = xT
+    out = call(x_in, done_val, max_iter)
+    x_in = 0.9 * x_in + 0.1 * jnp.tanh(out[0])
     jax.block_until_ready(x_in)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        x_in = chain(x_in)
+        for _ in range(reps):
+            out = call(x_in, done_val, max_iter)
+            x_in = 0.9 * x_in + 0.1 * jnp.tanh(out[0])
         s = float(jnp.sum(x_in))
         times.append((time.perf_counter() - t0) / reps)
         assert np.isfinite(s)

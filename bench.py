@@ -246,10 +246,16 @@ def main():
                     "max_iter": 500,
                     "adaptive_rho": False,
                     "rho": 0.05,
-                    # OSQP's check_termination knob: warm-started QPs pass
-                    # the FIRST residual check, so finer blocks stop
-                    # earlier at the same tolerance.
-                    "check_every": 5,
+                    # OSQP's check_termination knob: warm-started
+                    # steady-state QPs converge in ~2 iterations and the
+                    # tile iterates until ALL pass, so ce=2 stops
+                    # stragglers at their actual convergence point
+                    # (round-5 sweep _profile_cart.py: 4.43 -> 1.24
+                    # ms/tick together with tick-Ruiz).
+                    "check_every": 2,
+                    # Equilibrate once per tick, reuse across SQP steps
+                    # (ADMMSettings.scaling_refresh; ~0.3 ms/step here).
+                    "scaling_refresh": "tick",
                 },
             ),
             stagewise=True,

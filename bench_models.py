@@ -203,10 +203,11 @@ def main():
                         "max_iter": 500,
                         "adaptive_rho": False,
                         "rho": 0.05,
-                        # OSQP's check_termination knob: warm-started QPs
-                        # pass the FIRST residual check, so finer blocks
-                        # stop earlier at the same tolerance (+11-34%).
-                        "check_every": 5,
+                        # Warm-started steady-state QPs converge in ~2
+                        # iterations; ce=2 + tick-Ruiz measured 4.43 ->
+                        # 1.24 ms/tick at B=256 (round-5 _profile_cart).
+                        "check_every": 2,
+                        "scaling_refresh": "tick",
                     },
                 ),
                 stagewise=True,
@@ -238,10 +239,11 @@ def main():
                         "max_iter": 500,
                         "adaptive_rho": False,
                         "rho": 0.05,
-                        # OSQP's check_termination knob: warm-started QPs
-                        # pass the FIRST residual check, so finer blocks
-                        # stop earlier at the same tolerance (+11-34%).
-                        "check_every": 5,
+                        # Warm-started steady-state QPs converge in ~2
+                        # iterations; ce=2 + tick-Ruiz measured 4.43 ->
+                        # 1.24 ms/tick at B=256 (round-5 _profile_cart).
+                        "check_every": 2,
+                        "scaling_refresh": "tick",
                     },
                 ),
                 stagewise=True,

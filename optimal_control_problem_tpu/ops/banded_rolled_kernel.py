@@ -100,8 +100,6 @@ def _kernel(
     it0_ref,  # (1, Bt) int32
     done0_ref,  # (1, Bt) int32
     hb_ref,  # (N, w, w, Bt)
-    md_ref,  # (N, w, w, B) pre-assembled M diagonal — FULL array in HBM
-    l_ref,  # (N-1, w, w, B) pre-assembled M subdiagonal L — FULL, HBM
     j0_ref,  # (Nd, r, w, Bt)
     j1_ref,  # (Nd, r, w, Bt)
     jc_ref,  # (N, r2, w, Bt)
@@ -118,12 +116,11 @@ def _kernel(
     # outputs
     xo_ref, yxo_ref, ydo_ref, yco_ref, zxo_ref, zdo_ref, zco_ref,
     done_o_ref, it_o_ref, rp_o_ref, rd_o_ref, mp_o_ref, md_o_ref,
-    # scratch
+    # scratch (no lowT array: the subdiag transposes are recomputed
+    # per stage inside the factor loop, saving an (N, w, w, B) buffer)
     s_ref,  # (N, w, Bt) sweep workspace
     dinv_ref,  # (N, w, w, Bt) M diag -> pivot inverses
     g_ref,  # (N-1, w, w, Bt) M subdiag -> multipliers
-    md_sem,  # DMA semaphore: md_ref -> dinv_ref
-    l_sem,  # DMA semaphore: l_ref -> g_ref
     *,
     interval: int,
     check_every: int,
@@ -165,32 +162,45 @@ def _kernel(
     eye_w = jnp.expand_dims(jnp.eye(w, dtype=dtype), -1)  # (w, w, 1)
     eye_w4 = jnp.expand_dims(eye_w, 0)  # (1, w, w, 1)
 
-    # ---- M blocks: DMA'd in, not assembled -----------------------------
-    # The M diagonal/subdiagonal blocks arrive PRE-ASSEMBLED from the XLA
-    # driver (md_ref / l_ref, HBM/ANY memory space — zero VMEM footprint)
-    # and are copied straight into the factor scratches.  The previous
-    # in-kernel row-by-row assembly was ~620 Mosaic-shape-constrained ref
-    # ops measured at the bulk of the 0.96 ms per-entry fixed cost
-    # (round-5 microbench _profile_kernel.py; the round-5 probe showed
-    # every such ref op costs ~1 us regardless of independence) — XLA
-    # assembles the same blocks in a handful of fused broadcast-reduce
-    # ops, and the ~26 MB DMA costs ~35 us of HBM bandwidth.
-    def dma_m_blocks():
-        if md_ref.shape[-1] == q_ref.shape[-1]:
-            src_m, src_l = md_ref, l_ref  # single-tile grid: whole array
-        else:
-            i = pl.program_id(0)
-            Bt_ = q_ref.shape[-1]
-            src_m = md_ref.at[:, :, :, pl.ds(i * Bt_, Bt_)]
-            src_l = l_ref.at[:, :, :, pl.ds(i * Bt_, Bt_)]
-        cp_m = pltpu.make_async_copy(src_m, dinv_ref.at[0:N], md_sem)
-        cp_l = pltpu.make_async_copy(src_l, g_ref.at[0:nd_], l_sem)
-        cp_m.start()
-        cp_l.start()
-        cp_m.wait()
-        cp_l.wait()
+    # ---- M assembly (row-by-row into scratch) --------------------------
+    # Same row-chain accumulation order as banded_kernel._kernel, but
+    # every operand is a per-(row, term) REF SLICE read at the use site —
+    # the whole-array value reads the unrolled kernel makes (9-13 MB live
+    # across the prologue) are exactly the Mosaic stack pressure this
+    # variant exists to avoid.
+    def row_r(rho_ref_, ja_ref, jb_ref, a, lo=0, hi=None):
+        acc = None
+        for i in range(ja_ref.shape[1]):
+            rho_i = jnp.expand_dims(rho_ref_[lo:hi, i : i + 1, :], 2)
+            t = (rho_i * ja_ref[lo:hi, i : i + 1, a : a + 1, :]) * jb_ref[
+                lo:hi, i : i + 1, :, :
+            ]
+            acc = t if acc is None else acc + t
+        return acc
 
-    dma_m_blocks()
+    dinv_ref[:] = hb_ref[:]
+    for a in range(w):
+        # diagonal entries: + sigma + rho_x (per row a)
+        dinv_ref[:, a : a + 1, a : a + 1, :] = dinv_ref[
+            :, a : a + 1, a : a + 1, :
+        ] + (sigma + jnp.expand_dims(rx_ref[:, a : a + 1, :], 2))
+    for a in range(w):
+        dinv_ref[:nd_, a : a + 1, :, :] = (
+            dinv_ref[:nd_, a : a + 1, :, :]
+            + row_r(rd_ref, j0_ref, j0_ref, a)
+        )
+    for a in range(w):
+        dinv_ref[1:, a : a + 1, :, :] = (
+            dinv_ref[1:, a : a + 1, :, :]
+            + row_r(rd_ref, j1_ref, j1_ref, a)
+        )
+    for a in range(w):
+        dinv_ref[:, a : a + 1, :, :] = (
+            dinv_ref[:, a : a + 1, :, :]
+            + row_r(rc_ref, jc_ref, jc_ref, a)
+        )
+    for a in range(w):
+        g_ref[:, a : a + 1, :, :] = row_r(rd_ref, j1_ref, j0_ref, a)
 
     # ---- block helpers on (1, w, w, Bt) single-stage slices ------------
     def spd_inv4(m):
@@ -237,42 +247,41 @@ def _kernel(
         dinv_ref[N - 1 : N] = spd_inv4(dinv_ref[N - 1 : N])
     r = j0_ref.shape[1]
 
-    def _prod_rows_top(L, Y):
-        """(Y @ L^T) as a VALUE: row a = L @ Y[a, :] (axis-2 row-dot),
-        rows stacked along the UNTILED leading axis and reshaped to a
-        block.  Pure value ops — the w row computations carry no ref
-        read-modify-write, so the scheduler is free to run them in
-        parallel (per the round-5 probe, ref RMW chains serialize ~1 us
-        per step no matter how independent they are)."""
-        rows = [
-            jnp.sum(L * Y[:, a : a + 1, :, :], axis=2)  # (1, w, Bt)
-            for a in range(w)
-        ]
-        return jnp.concatenate(rows, axis=0)[None]  # (1, w, w, Bt)
+    def _schur_sub_rows_top(k, L, Y):
+        """dinv_ref[k] -= Y @ L^T, row by row: row a = L @ Y[a, :]
+        (axis-2 row-dot of L against the broadcast row of Y)."""
+        for a in range(w):
+            y_a = Y[:, a : a + 1, :, :]  # (1, 1, w, Bt)
+            row = jnp.sum(L * y_a, axis=2)  # (1, w, Bt)
+            dinv_ref[pl.ds(k, 1), a : a + 1, :, :] = dinv_ref[
+                pl.ds(k, 1), a : a + 1, :, :
+            ] - jnp.expand_dims(row, 1)
 
-    def _prod_rows_bot(A, V):
-        """(A^T @ V) as a VALUE: row a = sum_j A[j, a] V[j, :] (column-a
-        weights via integer slice + axis-1 reduction)."""
-        rows = [
-            jnp.sum(V * jnp.expand_dims(A[:, :, a, :], 2), axis=1)
-            for a in range(w)
-        ]
-        return jnp.concatenate(rows, axis=0)[None]
+    def _schur_sub_rows_bot(k, A, V):
+        """dinv_ref[k] -= A^T @ V, row by row: row a = sum_j A[j, a] V[j, :]
+        (column-a weights via integer slice + axis-1 reduction — the bwd
+        sweep's proven pattern)."""
+        for a in range(w):
+            col_a = jnp.expand_dims(A[:, :, a, :], 2)  # (1, w, 1, Bt)
+            row = jnp.sum(V * col_a, axis=1)  # (1, w, Bt)
+            dinv_ref[pl.ds(k, 1), a : a + 1, :, :] = dinv_ref[
+                pl.ds(k, 1), a : a + 1, :, :
+            ] - jnp.expand_dims(row, 1)
 
     def fact_top(k):
         L_k = g_ref[pl.ds(k - 1, 1)]  # L[k]
         g_k = mm4(L_k, dinv_ref[pl.ds(k - 1, 1)])  # L[k] dinv[k-1]
         # dinv[k] <- inv(D[k] - L[k] dinv[k-1] L[k]^T)
-        schur = dinv_ref[pl.ds(k, 1)] - _prod_rows_top(L_k, g_k)
-        dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
+        _schur_sub_rows_top(k, L_k, g_k)
+        dinv_ref[pl.ds(k, 1)] = spd_inv4(dinv_ref[pl.ds(k, 1)])
         g_ref[pl.ds(k - 1, 1)] = g_k
 
     def fact_bot(k):
         L_k1 = g_ref[pl.ds(k, 1)]  # L[k+1] (original content of slot k)
         W_k = mm4(dinv_ref[pl.ds(k + 1, 1)], L_k1)  # dinv[k+1] L[k+1]
         # dinv[k] <- inv(D[k] - L[k+1]^T dinv[k+1] L[k+1])
-        schur = dinv_ref[pl.ds(k, 1)] - _prod_rows_bot(L_k1, W_k)
-        dinv_ref[pl.ds(k, 1)] = spd_inv4(schur)
+        _schur_sub_rows_bot(k, L_k1, W_k)
+        dinv_ref[pl.ds(k, 1)] = spd_inv4(dinv_ref[pl.ds(k, 1)])
         g_ref[pl.ds(k, 1)] = W_k
 
     # Partial unroll: UNROLL stage-pairs per fori iteration amortizes the
@@ -295,15 +304,15 @@ def _kernel(
     # Middle stage: Schur complements arrive from BOTH sides.
     L_m = g_ref[pl.ds(m_mid - 1, 1)]  # L[m]
     g_m1 = mm4(L_m, dinv_ref[pl.ds(m_mid - 1, 1)])
-    schur_m = dinv_ref[pl.ds(m_mid, 1)] - _prod_rows_top(L_m, g_m1)
+    _schur_sub_rows_top(m_mid, L_m, g_m1)
     if m_mid < N - 1:
         # slot m still holds L[m+1]: read it for the Schur term, then
         # store W[m] there (its only remaining consumers are the sweeps).
         L_m1 = g_ref[pl.ds(m_mid, 1)]
         W_m = mm4(dinv_ref[pl.ds(m_mid + 1, 1)], L_m1)
-        schur_m = schur_m - _prod_rows_bot(L_m1, W_m)
+        _schur_sub_rows_bot(m_mid, L_m1, W_m)
         g_ref[pl.ds(m_mid, 1)] = W_m
-    dinv_ref[pl.ds(m_mid, 1)] = spd_inv4(schur_m)
+    dinv_ref[pl.ds(m_mid, 1)] = spd_inv4(dinv_ref[pl.ds(m_mid, 1)])
     g_ref[pl.ds(m_mid - 1, 1)] = g_m1
 
     # ---- operator applications (parallel over stages) ------------------
@@ -554,7 +563,7 @@ def _kernel(
     ),
 )
 def banded_admm_chunk_rolled(
-    it0, done0, HbT, MdT, LsubT, J0T, J1T, JcT, qT, boundsT, scaleT,
+    it0, done0, HbT, J0T, J1T, JcT, qT, boundsT, scaleT,
     xT, yxT, ydT, ycT, zxT, zdT, zcT,
     *,
     interval: int,
@@ -567,13 +576,9 @@ def banded_admm_chunk_rolled(
     batch_tile: int,
     interpret: bool = False,
 ):
-    """Rolled-loop twin of :func:`..ops.banded_kernel.banded_admm_chunk`,
-    plus two extra leading operator inputs: ``MdT (N, w, w, B)`` /
-    ``LsubT (N-1, w, w, B)`` — the PRE-ASSEMBLED M diagonal/subdiagonal
-    blocks (``admm_banded._build_M_blocks`` semantics, batch-last),
-    computed by the XLA driver and DMA'd from HBM into the factor
-    scratches at kernel entry (see the module docstring).  Same returns
-    and per-iteration semantics as the unrolled kernel.
+    """Rolled-loop twin of :func:`..ops.banded_kernel.banded_admm_chunk` —
+    identical signature, returns, and per-iteration semantics; see the
+    module docstring for when the driver picks this variant.
     """
     B = xT.shape[-1]
     if B % batch_tile:
@@ -593,7 +598,7 @@ def banded_admm_chunk_rolled(
     inputs = [
         it0[None, :].astype(jnp.int32),
         done0[None, :].astype(jnp.int32),
-        HbT, MdT, LsubT, J0T, J1T, JcT, qT,
+        HbT, J0T, J1T, JcT, qT,
         boundsT["lx"], boundsT["ux"], boundsT["rx"],
         boundsT["ld"], boundsT["ud"], boundsT["rd"],
         boundsT["lc"], boundsT["uc"], boundsT["rc"],
@@ -626,16 +631,11 @@ def banded_admm_chunk_rolled(
         eps_abs=eps_abs,
         eps_rel=eps_rel,
     )
-    in_specs = [spec(a) for a in inputs]
-    # Md / L (input indices 3, 4) stay in HBM/ANY, whole-array: the kernel
-    # DMAs the tile slice into its dinv/g scratches (see dma_m_blocks).
-    in_specs[3] = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs[4] = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shapes,
-        in_specs=in_specs,
+        in_specs=[spec(a) for a in inputs],
         out_specs=tuple(spec(jax.ShapeDtypeStruct(s.shape, s.dtype))
                         for s in out_shapes),
         scratch_shapes=[
@@ -644,8 +644,6 @@ def banded_admm_chunk_rolled(
             pltpu.VMEM(
                 (HbT.shape[0] - 1,) + HbT.shape[1:-1] + (batch_tile,), dtype
             ),  # g
-            pltpu.SemaphoreType.DMA(()),  # Md copy tracking
-            pltpu.SemaphoreType.DMA(()),  # L copy tracking
         ],
         # Ceiling probed against quadrotor h100: Mosaic's scoped-vmem
         # scheduler spends up to the limit (raising it raised the
@@ -654,7 +652,7 @@ def banded_admm_chunk_rolled(
         # two-way solve measured 114.53 MB at h100 — 544 KB past the old
         # 114 MB ceiling; 116 MB clears it with margin.)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=119 * 1024 * 1024,
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)

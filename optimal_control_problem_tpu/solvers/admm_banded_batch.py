@@ -359,16 +359,6 @@ def _solve_banded_batch_T(
                 # fallback.
                 batch_tile = pick_rolled_tile(B, N, w, r_eff, r2_eff)
                 rolled = batch_tile is not None
-        if (
-            rolled and not use_cr and batch_tile is not None
-            and not interpret and batch_tile < 128
-        ):
-            # The rolled kernel's HBM->VMEM Md/L DMA needs 128-aligned
-            # lane slices (same Mosaic constraint as the CR kernel's Hb
-            # DMA); padding the batch to a full lane tile is physically
-            # free (lanes pad to 128 regardless) — padded rows enter
-            # frozen.
-            batch_tile = 128
     elif batch_tile < 0:
         # Explicit fallback request (tests / VMEM-pressure escape hatch).
         batch_tile = None
@@ -380,11 +370,11 @@ def _solve_banded_batch_T(
             f"batch_tile={batch_tile} must be a multiple of 128 or >= the "
             f"batch ({B}) on real TPU"
         )
-    elif (use_cr or rolled) and not interpret and batch_tile < 128:
-        # Same 128-lane rounding as the auto path: the CR kernel's Hb DMA
-        # and the rolled kernel's Md/L DMA need 128-aligned lane slices;
-        # a smaller explicit tile would hit a Mosaic compile failure.
-        # Padding is physically free (lanes pad to 128 regardless).
+    elif use_cr and not interpret and batch_tile < 128:
+        # Same 128-lane rounding as the auto path: the CR kernel's
+        # HBM->VMEM Hb DMA needs 128-aligned lane slices; a smaller
+        # explicit tile would hit a Mosaic compile failure.  Padding is
+        # physically free (lanes pad to 128 regardless).
         batch_tile = 128
     if batch_tile is None:
         # Working set does not fit in VMEM at any lane-aligned tile:
@@ -556,30 +546,6 @@ def _solve_banded_batch_T(
         )
         return jnp.any(active)
 
-    def _m_blocks_T(rxT, rdT_, rcT):
-        """Pre-assembled M = P + sigma I + A^T R A blocks, batch-last —
-        the same per-element multiply/accumulation chains as
-        ``admm_banded._build_M_blocks`` (and the kernels' in-kernel
-        assembly), computed as a handful of fused XLA broadcast-reduce
-        ops instead of ~620 Mosaic-constrained ref ops (which measured as
-        the bulk of the rolled kernel's 0.96 ms entry cost, round 5)."""
-        eye = jnp.eye(w, dtype=dtype)[None, :, :, None]
-        Md = HbT + eye * (sigma + rxT[:, :, None, :])
-
-        def sym(Jw, J):
-            acc = None
-            for i in range(Jw.shape[1]):
-                t = Jw[:, i, :, None, :] * J[:, i, None, :, :]
-                acc = t if acc is None else acc + t
-            return acc
-
-        J0w = J0T * rdT_[:, :, None, :]
-        J1w = J1T * rdT_[:, :, None, :]
-        Md = Md.at[: N - 1].add(sym(J0w, J0T))
-        Md = Md.at[1:].add(sym(J1w, J1T))
-        Md = Md + sym(JcT * rcT[:, :, None, :], JcT)
-        return Md, sym(J1w, J0T)
-
     def body_fn(s):
         (it_b, x, y, z, rho, done, pinf, dinf, rp, rd) = s
         stop = done | pinf | dinf
@@ -591,7 +557,16 @@ def _solve_banded_batch_T(
             "ld": ldT, "ud": udT, "rd": rdT_,
             "lc": lcT, "uc": ucT, "rc": rcT,
         }
-        common = dict(
+        chunk_fn = (
+            banded_admm_chunk_cr if use_cr
+            else banded_admm_chunk_rolled if rolled
+            else banded_admm_chunk
+        )
+        (xT2, yx2, yd2, yc2, zx2, zd2, zc2, kdone, it_inc,
+         rp_k, rd_k, mp_k, md_k) = chunk_fn(
+            it_b, stop.astype(jnp.int32),
+            HbT, J0T, J1T, JcT, qT, bounds, scaleT,
+            x.reshape(N, w, Bp), yx, yd, yc, zx, zd, zc,
             interval=interval,
             check_every=st.check_every,
             max_iter=st.max_iter,
@@ -602,24 +577,6 @@ def _solve_banded_batch_T(
             batch_tile=batch_tile,
             interpret=interpret,
         )
-        if rolled and not use_cr:
-            MdT, LsT = _m_blocks_T(rxT, rdT_, rcT)
-            (xT2, yx2, yd2, yc2, zx2, zd2, zc2, kdone, it_inc,
-             rp_k, rd_k, mp_k, md_k) = banded_admm_chunk_rolled(
-                it_b, stop.astype(jnp.int32),
-                HbT, MdT, LsT, J0T, J1T, JcT, qT, bounds, scaleT,
-                x.reshape(N, w, Bp), yx, yd, yc, zx, zd, zc,
-                **common,
-            )
-        else:
-            chunk_fn = banded_admm_chunk_cr if use_cr else banded_admm_chunk
-            (xT2, yx2, yd2, yc2, zx2, zd2, zc2, kdone, it_inc,
-             rp_k, rd_k, mp_k, md_k) = chunk_fn(
-                it_b, stop.astype(jnp.int32),
-                HbT, J0T, J1T, JcT, qT, bounds, scaleT,
-                x.reshape(N, w, Bp), yx, yd, yc, zx, zd, zc,
-                **common,
-            )
         x_new = xT2.reshape(n, Bp)
         y_new = jnp.concatenate(
             [yx2.reshape(n, Bp), yd2.reshape(nd * r, Bp),
