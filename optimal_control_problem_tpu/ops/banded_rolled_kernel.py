@@ -54,6 +54,20 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["banded_admm_chunk_rolled", "pick_rolled_tile"]
 
 
+def _use_cr1(N: int, batch_tile: int) -> bool:
+    """Static gate for the depth-1 cyclic-reduction level: one
+    WHOLE-ARRAY elimination of all odd stages in front of the two-way
+    sweeps.  Per the round-5 probe, Mosaic never overlaps sequential ref
+    chains, so the only way to shorten the ~1 us/step factor and sweep
+    chains is fewer steps — the level halves every chain for ~15
+    stage-parallel whole-array ops.  Requirements: even horizon (odd
+    horizons keep the plain two-way path — no remainder machinery), long
+    enough to matter, and lane-width tiles or smaller (the level's extra
+    ~N/2 coupling blocks push the h100 working set past VMEM at
+    batch_tile >= 128, where throughput is already excellent)."""
+    return N % 2 == 0 and N >= 16 and batch_tile < 128
+
+
 def pick_rolled_tile(B: int, N: int, w: int, r: int, r2: int):
     """Batch tile whose ROLLED-kernel working set fits in VMEM, or None.
 
@@ -121,6 +135,7 @@ def _kernel(
     s_ref,  # (N, w, Bt) sweep workspace
     dinv_ref,  # (N, w, w, Bt) M diag -> pivot inverses
     g_ref,  # (N-1, w, w, Bt) M subdiag -> multipliers
+    la_ref,  # (H-1, w, w, Bt) depth-1 CR odd->even-above couplings
     *,
     interval: int,
     check_every: int,
@@ -241,11 +256,56 @@ def _kernel(
     # h100 (round 5).  Both Schur products L dinv L^T and L^T dinv L are
     # computed row-by-row with the two PROVEN reduction patterns (axis-2
     # row-dot, axis-1 weighted row sum) — see _schur_rows_*.
-    m_mid = N // 2
-    dinv_ref[0:1] = spd_inv4(dinv_ref[0:1])
-    if m_mid < N - 1:
-        dinv_ref[N - 1 : N] = spd_inv4(dinv_ref[N - 1 : N])
+    # Depth-1 cyclic-reduction level (see _use_cr1): eliminate every ODD
+    # stage in one stage-parallel pass, then run the two-way machinery on
+    # the H = N/2 reduced (even-stage) system — every sequential chain
+    # halves.  Slot layout after the level: dinv[0:H] = reduced diag ->
+    # pivot inverses, dinv[H:N] = odd-pivot inverses; g[0:H-1] = reduced
+    # couplings -> multipliers, g[H-1:N-1] = original L[2i+1] (odd-below
+    # couplings, "Lb"), la[0:H-1] = original L[2i+2] ("La").
+    use_cr1 = _use_cr1(N, q_ref.shape[-1])
+    H_half = N // 2
+    n_sys = H_half if use_cr1 else N
+    m_mid = n_sys // 2
     r = j0_ref.shape[1]
+
+    if use_cr1:
+        # All reads of the original D/L before any writes.
+        dp = dinv_ref[0:N].reshape(H_half, 2, w, w, q_ref.shape[-1])
+        d_even, d_odd = dp[:, 0], dp[:, 1]
+        gp = g_ref[0 : 2 * (H_half - 1)].reshape(
+            H_half - 1, 2, w, w, q_ref.shape[-1]
+        )
+        Lb = jnp.concatenate([gp[:, 0], g_ref[N - 2 : N - 1]], axis=0)  # (H,)
+        La = gp[:, 1]  # (H-1,) couples odd 2i+1 to even 2i+2
+        dinv_odd = spd_inv4(d_odd)  # whole-array Gauss-Jordan (H blocks)
+        Vb = mm4(dinv_odd, Lb)  # dinv_o L[o]
+        Ya = mm4(La, dinv_odd[: H_half - 1])  # L[e'] dinv_o
+        # Reduced diagonal, row by row (assembly-style static row writes):
+        # D'[i] = d_even[i] - Lb[i]^T dinv_o[i] Lb[i]  (odd above every even)
+        #         - [i>0] La[i-1] dinv_o[i-1] La[i-1]^T (odd below).
+        for a in range(w):
+            t_above = jnp.sum(
+                Vb * jnp.expand_dims(Lb[:, :, a, :], 2), axis=1
+            )  # (H, w, Bt)
+            dinv_ref[0:H_half, a : a + 1, :, :] = jnp.expand_dims(
+                d_even[:, a, :, :] - t_above, 1
+            )
+        for a in range(w):
+            t_below = jnp.sum(La * Ya[:, a : a + 1, :, :], axis=2)
+            dinv_ref[1:H_half, a : a + 1, :, :] = dinv_ref[
+                1:H_half, a : a + 1, :, :
+            ] - jnp.expand_dims(t_below, 1)
+        # Reduced couplings L'[i] = -La[i] dinv_o[i] Lb[i] = -(Ya Lb)[i];
+        # then stash dinv_odd / Lb / La for the per-iteration fold/unfold.
+        g_ref[0 : H_half - 1] = -mm4(Ya, Lb[: H_half - 1])
+        dinv_ref[H_half:N] = dinv_odd
+        g_ref[H_half - 1 : N - 1] = Lb
+        la_ref[:] = La
+
+    dinv_ref[0:1] = spd_inv4(dinv_ref[0:1])
+    if m_mid < n_sys - 1:
+        dinv_ref[n_sys - 1 : n_sys] = spd_inv4(dinv_ref[n_sys - 1 : n_sys])
 
     def _schur_sub_rows_top(k, L, Y):
         """dinv_ref[k] -= Y @ L^T, row by row: row a = L @ Y[a, :]
@@ -289,23 +349,23 @@ def _kernel(
     # sequential) stage recurrences without re-inflating the program to
     # the full-unroll size that spilled VMEM.
     nt_f = m_mid - 1  # top steps: k = 1 .. m-1
-    nb_f = max(N - 2 - m_mid, 0)  # bottom steps: k = N-2 .. m+1
+    nb_f = max(n_sys - 2 - m_mid, 0)  # bottom steps: k = n_sys-2 .. m+1
     common_f = min(nt_f, nb_f)
 
     def fact_pair(i):
         fact_top(i + 1)
-        fact_bot(N - 2 - i)
+        fact_bot(n_sys - 2 - i)
 
     _run_grouped(common_f, fact_pair, unroll=1)
     for i in range(common_f, nt_f):
         fact_top(i + 1)
     for i in range(common_f, nb_f):
-        fact_bot(N - 2 - i)
+        fact_bot(n_sys - 2 - i)
     # Middle stage: Schur complements arrive from BOTH sides.
     L_m = g_ref[pl.ds(m_mid - 1, 1)]  # L[m]
     g_m1 = mm4(L_m, dinv_ref[pl.ds(m_mid - 1, 1)])
     _schur_sub_rows_top(m_mid, L_m, g_m1)
-    if m_mid < N - 1:
+    if m_mid < n_sys - 1:
         # slot m still holds L[m+1]: read it for the Schur term, then
         # store W[m] there (its only remaining consumers are the sweeps).
         L_m1 = g_ref[pl.ds(m_mid, 1)]
@@ -354,8 +414,10 @@ def _kernel(
         return _contract_w(hb_ref, x)
 
     # ---- two-way block solve, ROLLED sweeps through s_ref --------------
-    def btd_solve(rhs):
-        s_ref[:] = rhs
+    def _two_way_solve(rhs):
+        """Solve the n_sys-stage (possibly CR-reduced) system held in
+        dinv/g slots [0, n_sys); rhs is an (n_sys, w, Bt) value."""
+        s_ref[0:n_sys] = rhs
 
         # Phase 1: forward elimination from both ends (independent
         # chains; interleaved bodies).  Top: s[k] -= g[k-1] s[k-1] for
@@ -373,7 +435,7 @@ def _kernel(
             )
 
         def fwd_bot(i):
-            k = N - 2 - i
+            k = n_sys - 2 - i
             w_k = g_ref[pl.ds(k, 1)]  # W[k] = h[k]^T
             s_k1 = jnp.expand_dims(s_ref[pl.ds(k + 1, 1)], 2)  # (1,w,1,Bt)
             s_ref[pl.ds(k, 1)] = s_ref[pl.ds(k, 1)] - jnp.sum(
@@ -381,7 +443,7 @@ def _kernel(
             )
 
         nt = m_mid  # top: k = 1 .. m
-        nb = N - 1 - m_mid  # bottom: k = N-2 .. m
+        nb = n_sys - 1 - m_mid  # bottom: k = n_sys-2 .. m
         common = min(nt, nb)
 
         def fwd_pair(i):
@@ -398,16 +460,16 @@ def _kernel(
         # stage-parallel whole-array pass (recursion-independent: top
         # back-subst needs u below m, bottom above m, and u[m] IS x[m]).
         # This halves the op count of every dependent phase-3 step.
-        # Column-accumulation form (the mat_P idiom): one (N, w, Bt)
+        # Column-accumulation form (the mat_P idiom): one (n_sys, w, Bt)
         # accumulator + one term live — the row-slice/concat form kept all
         # w row pieces live and pushed the Mosaic stack 5.5 MB over VMEM
         # at h100 (and sublane-axis concats are a known Mosaic crash).
-        s_val = s_ref[:]
+        s_val = s_ref[0:n_sys]
         acc = None
         for j in range(w):
-            t = dinv_ref[:, :, j, :] * s_val[:, j : j + 1, :]
+            t = dinv_ref[0:n_sys, :, j, :] * s_val[:, j : j + 1, :]
             acc = t if acc is None else acc + t
-        s_ref[:] = acc
+        s_ref[0:n_sys] = acc
 
         # Phase 3: back-substitution outward from the middle (independent
         # chains).  Top: x[k] = u[k] - g[k]^T x[k+1] for k = m-1..0;
@@ -436,7 +498,46 @@ def _kernel(
             bwd_top(i)
         for i in range(common, nb):
             bwd_bot(i)
-        return s_ref[:]
+        return s_ref[0:n_sys]
+
+    if use_cr1:
+
+        def btd_solve(rhs):
+            """Depth-1 CR solve: fold the odd stages' rhs into the evens
+            (all stage-parallel), run the two-way solve on the H-stage
+            reduced system, then recover the odds — per-iteration
+            sequential depth halves for ~10 whole-array ops."""
+            Bt_ = rhs.shape[-1]
+            bp = rhs.reshape(H_half, 2, w, Bt_)
+            b_even, b_odd = bp[:, 0], bp[:, 1]
+            dinv_o = dinv_ref[H_half:N]
+            Lb = g_ref[H_half - 1 : N - 1]
+            La = la_ref[:]
+            # t_o = dinv_o b_odd (stage-parallel matvec, axis-2 row-dot)
+            t_o = jnp.sum(dinv_o * jnp.expand_dims(b_odd, 1), axis=2)
+            # b'_even[i] = b_even[i] - Lb[i]^T t_o[i] - [i>0] La[i-1] t_o[i-1]
+            fold = b_even - jnp.sum(
+                Lb * jnp.expand_dims(t_o, 2), axis=1
+            )
+            low = jnp.sum(
+                La * jnp.expand_dims(t_o[: H_half - 1], 1), axis=2
+            )
+            zrow = jnp.zeros((1, w, Bt_), rhs.dtype)
+            fold = fold - jnp.concatenate([zrow, low], axis=0)
+            x_even = _two_way_solve(fold)
+            # x_o = dinv_o (b_odd - Lb x_even - [i<H-1] La^T x_even[i+1])
+            rhs_o = b_odd - jnp.sum(
+                Lb * jnp.expand_dims(x_even, 1), axis=2
+            )
+            up = jnp.sum(
+                La * jnp.expand_dims(x_even[1:], 2), axis=1
+            )
+            rhs_o = rhs_o - jnp.concatenate([up, zrow], axis=0)
+            x_odd = jnp.sum(dinv_o * jnp.expand_dims(rhs_o, 1), axis=2)
+            return jnp.stack([x_even, x_odd], axis=1).reshape(N, w, Bt_)
+
+    else:
+        btd_solve = _two_way_solve
 
     def one_iter(_, c):
         x, zx, zd, zc, yx, yd, yc = c
@@ -644,6 +745,13 @@ def banded_admm_chunk_rolled(
             pltpu.VMEM(
                 (HbT.shape[0] - 1,) + HbT.shape[1:-1] + (batch_tile,), dtype
             ),  # g
+            # la: the depth-1 CR level's odd->even-above couplings
+            # (L[2i+2], i < H-1); a 1-slot dummy when the level is off.
+            pltpu.VMEM(
+                (max(HbT.shape[0] // 2 - 1, 1) if _use_cr1(HbT.shape[0], batch_tile) else 1,)
+                + HbT.shape[1:-1] + (batch_tile,),
+                dtype,
+            ),
         ],
         # Ceiling probed against quadrotor h100: Mosaic's scoped-vmem
         # scheduler spends up to the limit (raising it raised the

@@ -421,3 +421,37 @@ def test_cr_kernel_odd_horizon_padding():
     np.testing.assert_allclose(
         np.asarray(ref.x), np.asarray(bat.x), atol=5e-4, rtol=1e-3
     )
+
+
+def test_rolled_depth1_cr_level_matches_reference():
+    """Even horizons >= 16 trigger the rolled kernel's depth-1
+    cyclic-reduction level (odd stages eliminated in one stage-parallel
+    pass; two-way sweeps on the half-size reduced system).  The
+    elimination is exact, so over a forced budget the trajectory must
+    match the vmapped XLA reference to fp roundoff, and production
+    solves must agree at the solver tolerance.  (Iteration-count
+    equality is not asserted: a different elimination order shifts
+    knife-edge convergence blocks — same policy as the two-way tests.)"""
+    st = SET.replace(
+        eps_abs=0.0, eps_rel=0.0, max_iter=60, check_infeasibility=False,
+        adaptive_rho=False,
+    )
+    qp_b = stack_qps([random_stage_qp(s, N=16, w=4) for s in range(3)])
+    ref = vmapped_ref(qp_b, st)
+    bat = admm_solve_banded_batch(qp_b, st, rolled=True)
+    np.testing.assert_allclose(
+        np.asarray(ref.x), np.asarray(bat.x), atol=3e-4, rtol=1e-3
+    )
+    st2 = SET.replace(adaptive_rho=False)
+    ref2 = vmapped_ref(qp_b, st2)
+    bat2 = admm_solve_banded_batch(qp_b, st2, rolled=True)
+    np.testing.assert_allclose(
+        np.asarray(ref2.x), np.asarray(bat2.x), atol=5e-3, rtol=1e-2
+    )
+    # Odd horizon stays on the plain two-way path (no level machinery).
+    qp_o = stack_qps([random_stage_qp(s + 3, N=17, w=4) for s in range(2)])
+    ref3 = vmapped_ref(qp_o, st)
+    bat3 = admm_solve_banded_batch(qp_o, st, rolled=True)
+    np.testing.assert_allclose(
+        np.asarray(ref3.x), np.asarray(bat3.x), atol=3e-4, rtol=1e-3
+    )
